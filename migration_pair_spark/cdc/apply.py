@@ -1,0 +1,186 @@
+"""The exactly-once CDC MERGE loop (SURVEY.md §2.4).
+
+Per micro-batch inside ``foreachBatch``:
+
+1. read the committed LSN watermark from the target's snapshot properties,
+2. if the whole batch is <= watermark -> already applied (restart replay):
+   skip and log lineage ``skipped=true`` — the idempotence the reference got
+   for free from Cassandra LWW (/root/reference/Tasks/MigrationTask.cs:101),
+3. filter to events > watermark (handles *partial* overlap when restart
+   re-batches differently), normalize mixed schema epochs, evolve the table
+   schema if the batch carries a newer epoch,
+4. salted two-phase LWW dedup per key (cdc/lww.py),
+5. vectorized text extraction on the winners only (never on losers — the
+   UDF runs on at most one row per key per batch),
+6. bucket-pruned MERGE: union the winners with the CURRENT content of only
+   the touched buckets, re-rank per key over (warc_ts, _lsn) — the
+   cross-batch LWW guard — and rewrite those buckets. Deletes become
+   tombstone rows (physical rows with _deleted=true) so a late event older
+   than the delete still loses after the delete was applied,
+7. commit data + ``engine.max_lsn`` watermark + lineage in ONE atomic
+   snapshot — this is what upgrades at-least-once replay to exactly-once.
+
+The merge itself is a union + window rank, NOT a join: the target side has
+exactly one physical row per key and the batch side at most one winner per
+key, so no skew and no join shuffle beyond the single hash partition by key.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from migration_pair_spark.cdc.lww import lww_dedup
+from migration_pair_spark.functions.extract import extract_text_udf
+from migration_pair_spark.lakehouse.table import LakeTable
+
+WATERMARK_PROP = "engine.max_lsn"
+EPOCH_PROP = "engine.schema_epoch"
+
+_RN = "_merge_rn"
+
+
+def apply_cdc_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: int = 0,
+    salt_buckets: int = 16,
+    epoch_registry: "dict[int, list] | None" = None,
+    extract_text: bool = True,
+) -> dict:
+    """Apply one micro-batch of change events to ``table``. Returns the
+    lineage record (FIXTURES.md F4). Idempotent: re-applying any prefix,
+    suffix or the whole stream converges to the same final snapshot."""
+    t0 = time.monotonic()
+    table.refresh()  # another writer (or a previous incarnation) may have committed
+
+    # -- 1-2: watermark gate ------------------------------------------------
+    wm = int(table.properties.get(WATERMARK_PROP, "0"))
+    stats = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("change_lsn").alias("lsn_min"),
+        F.max("change_lsn").alias("lsn_max"),
+        F.max("schema_epoch").alias("max_epoch"),
+        F.sum((F.col("change_lsn") <= F.lit(wm)).cast("long")).alias("n_stale"),
+    ).collect()[0]
+    lineage_base = {
+        "batch_id": batch_id,
+        "lsn_min": int(stats.lsn_min) if stats.lsn_min is not None else None,
+        "lsn_max": int(stats.lsn_max) if stats.lsn_max is not None else None,
+        "rows_in_batch": int(stats.n),
+        "table_version_before": table.version,
+    }
+    if stats.n == 0 or (stats.lsn_max is not None and stats.lsn_max <= wm):
+        return {
+            **lineage_base,
+            "skipped": True,
+            "rows_skipped": int(stats.n),
+            "rows_upserted": 0,
+            "rows_deleted": 0,
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+        }
+
+    # -- 3: schema evolution (epoch-gated, BEFORE applying the data) ---------
+    cur_epoch = int(table.properties.get(EPOCH_PROP, "1"))
+    max_epoch = int(stats.max_epoch or 1)
+    epoch_props = {}
+    if epoch_registry and max_epoch > cur_epoch:
+        for ep in range(cur_epoch + 1, max_epoch + 1):
+            ops = epoch_registry.get(ep, [])
+            if ops:
+                table.evolve_schema(ops)
+        epoch_props[EPOCH_PROP] = str(max_epoch)
+
+    fresh = batch.filter(F.col("change_lsn") > F.lit(wm))
+
+    # -- 4: salted LWW dedup per key -----------------------------------------
+    key = table.key_col
+    winners = lww_dedup(
+        fresh, key_cols=(key,), order_cols=("warc_ts", "change_lsn"),
+        salt_buckets=salt_buckets,
+    )
+
+    # -- 5: vectorized text extraction, winners only --------------------------
+    if extract_text and "html" in winners.columns:
+        winners = winners.withColumn(
+            "text",
+            F.when(F.col("op") != "delete", extract_text_udf(F.col("html"))),
+        )
+
+    # Project winners onto the physical table schema, casting every column to
+    # the table's CURRENT type (the stream side may carry wider superset
+    # types, e.g. fetch_status read as long before the widen epoch).
+    proj = []
+    for field in table.schema.fields:
+        src = F.col(field.name) if field.name in winners.columns else F.lit(None)
+        proj.append(src.cast(field.dataType).alias(field.name))
+    winners_phys = winners.select(
+        *proj,
+        F.col("change_lsn").alias("_lsn"),
+        (F.col("op") == "delete").alias("_deleted"),
+    ).withColumn("_bucket", table.bucket_expr())
+
+    # -- 6: bucket-pruned merge (union + cross-batch LWW re-rank) ------------
+    touched = [r[0] for r in winners_phys.select("_bucket").distinct().collect()]
+    op_counts = {
+        r["_deleted"]: r["n"]
+        for r in winners_phys.groupBy("_deleted").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    current = table.read_buckets(touched).withColumn("_bucket", table.bucket_expr())
+    merged = current.unionByName(winners_phys)
+    w = Window.partitionBy(key).orderBy(
+        F.col("warc_ts").desc_nulls_last(), F.col("_lsn").desc_nulls_last()
+    )
+    final = (
+        merged.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) == 1)
+        .drop(_RN)
+    )
+
+    # -- 7: atomic commit: data + watermark + lineage in one snapshot --------
+    bucket_counts = {
+        str(r["_bucket"]): r["n"]
+        for r in winners_phys.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    lineage = {
+        **lineage_base,
+        "skipped": False,
+        "rows_skipped": int(stats.n_stale or 0),  # already-applied (<= watermark)
+        "rows_upserted": int(op_counts.get(False, 0)),
+        "rows_deleted": int(op_counts.get(True, 0)),
+        "partition_counts": bucket_counts,
+        "wall_ms": int((time.monotonic() - t0) * 1000),  # pre-commit; final below
+    }
+    new_version = table.replace_buckets(
+        final,
+        touched,
+        properties={WATERMARK_PROP: str(int(stats.lsn_max)), **epoch_props},
+        lineage=lineage,
+    )
+    lineage["snapshot_id"] = new_version
+    lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
+    # Append-only per-table audit log (manifest holds the same record).
+    _append_lineage(table, lineage)
+    return lineage
+
+
+def _append_lineage(table: LakeTable, lineage: dict) -> None:
+    import json
+    import os
+
+    path = os.path.join(table.path, "lineage.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps(lineage) + "\n")
+
+
+def read_lineage(table: LakeTable) -> list[dict]:
+    import json
+    import os
+
+    path = os.path.join(table.path, "lineage.jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]

@@ -1,0 +1,163 @@
+"""CDC entry points: batch backfill and the Structured-Streaming tail.
+
+Reference analog: the three task entry points of the reference
+(/root/reference/Program.cs:51-60 — Extraction / Insertion / EndToEnd) become
+``backfill`` (snapshot copy), ``apply_batch`` (bulk change apply) and
+``run_stream`` (the continuous binlog tail, the north rule's flagship).
+
+Streaming design: the change stream is a directory of ordered parquet files
+(one file ~ one source micro-batch, FIXTURES.md F2). We read it with
+``readStream`` + ``maxFilesPerTrigger`` and apply each micro-batch through
+``foreachBatch`` -> :func:`apply_cdc_batch`. Exactly-once comes from TWO
+independent layers:
+
+- Spark's checkpoint replays unprocessed files after a crash (at-least-once),
+- the table's atomically-committed LSN watermark turns the replay into
+  exactly-once (a re-delivered batch is skipped / trimmed by LSN).
+
+Either layer alone degrades gracefully: wipe the checkpoint and the stream
+still converges to the identical final state (tested in test_replay.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migration_pair_spark.cdc.apply import EPOCH_PROP, apply_cdc_batch
+from migration_pair_spark.lakehouse.table import (
+    AddColumn,
+    LakeTable,
+    RenameColumn,
+    WidenColumn,
+)
+
+# The pages table logical schema at epoch 1 (BASELINE.json:15 input_hint).
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# FIXTURES.md F3 epochs, declared against the engine's generic evolution ops.
+PAGES_EPOCH_REGISTRY: dict[int, list] = {
+    2: [AddColumn("fetch_status", "int")],
+    3: [RenameColumn("lang", "language"), WidenColumn("fetch_status", "long")],
+}
+
+# Superset read schema for the change stream: every epoch's columns, widest
+# types. Parquet files lacking a column yield nulls; int32 fetch_status files
+# are upcast to long by Spark's parquet type-widening read.
+CHANGE_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("change_lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("language", T.StringType(), True),
+        T.StructField("fetch_status", T.LongType(), True),
+        T.StructField("schema_epoch", T.IntegerType(), True),
+    ]
+)
+
+
+@dataclass
+class CdcPipeline:
+    """Configuration for one change stream -> one lake table."""
+
+    table_path: str
+    key_col: str = "url"
+    n_buckets: int = 16
+    salt_buckets: int = 16
+    schema: T.StructType = field(default_factory=lambda: PAGES_SCHEMA)
+    epoch_registry: dict[int, list] = field(
+        default_factory=lambda: dict(PAGES_EPOCH_REGISTRY)
+    )
+    extract_text: bool = True
+
+    def ensure_table(self, spark: SparkSession) -> LakeTable:
+        if LakeTable.exists(self.table_path):
+            return LakeTable.load(spark, self.table_path)
+        return LakeTable.create(
+            spark,
+            self.table_path,
+            self.schema,
+            key_col=self.key_col,
+            n_buckets=self.n_buckets,
+            properties={EPOCH_PROP: "1"},
+        )
+
+    # ------------------------------------------------------------ normalize
+
+    def normalize(self, batch: DataFrame) -> DataFrame:
+        """Map mixed-epoch events onto the newest naming (pre-rename events
+        flow into the renamed column, per FIXTURES.md F3 oracle)."""
+        df = batch
+        if "language" in df.columns and "lang" in df.columns:
+            df = df.withColumn("language", F.coalesce("language", "lang"))
+        return df
+
+    # ------------------------------------------------------------ batch apply
+
+    def apply_batch(
+        self, spark: SparkSession, events: DataFrame, batch_id: int = 0
+    ) -> dict:
+        table = self.ensure_table(spark)
+        return apply_cdc_batch(
+            table,
+            self.normalize(events),
+            batch_id=batch_id,
+            salt_buckets=self.salt_buckets,
+            epoch_registry=self.epoch_registry,
+            extract_text=self.extract_text,
+        )
+
+    # ------------------------------------------------------------ streaming
+
+    def run_stream(
+        self,
+        spark: SparkSession,
+        events_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        on_batch=None,
+    ) -> list[dict]:
+        """Tail ``events_dir`` as a stream; returns the lineage records of the
+        batches applied by THIS invocation. ``on_batch`` (if given) is called
+        with (batch_id, lineage) after each micro-batch — tests use it to
+        inject a mid-stream kill."""
+        self.ensure_table(spark)
+        lineages: list[dict] = []
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            lineage = self.apply_batch(spark, batch_df, batch_id=batch_id)
+            lineages.append(lineage)
+            if on_batch is not None:
+                on_batch(batch_id, lineage)
+
+        stream = (
+            spark.readStream.schema(CHANGE_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(events_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+        finally:
+            if query.isActive:  # pragma: no cover
+                query.stop()
+        return lineages

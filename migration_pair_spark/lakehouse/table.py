@@ -1,0 +1,401 @@
+"""LakeTable: a hash-bucketed, snapshot-committed parquet table.
+
+Layout on disk (all paths relative to the table root):
+
+    manifests/v00000001.json      -- one immutable manifest per snapshot
+    data/tx-<version>-<uuid>/...  -- data files written by one commit
+
+A manifest is the complete table state: schema history, bucket -> data-file
+map, snapshot properties, lineage of the committing batch. The *latest*
+snapshot is the manifest with the highest version number; commit = write
+temp file + atomic ``os.rename`` (fails if the target exists -> optimistic
+concurrency, like an Iceberg commit conflict). A crash between data write
+and manifest rename leaves only invisible orphan files — the table state is
+unchanged, and the CDC watermark gate makes the retried batch idempotent.
+
+Scale notes (the design target is a 1000-executor cluster over ~100 TB):
+
+- ``n_buckets`` is the copy-on-write granularity. A micro-batch rewrites
+  only the buckets its keys hash into; at scale you size n_buckets so one
+  bucket ~ a few GB (e.g. 4096 buckets for 10 TB of hot key space). The
+  driver-side manifest holds one file list per bucket — O(n_buckets), not
+  O(rows).
+- Reads prune by bucket: ``read_buckets([...])`` opens only the named
+  buckets' files, so the MERGE join never scans the full table.
+- All data movement is executor-side DataFrame work; the driver only lists
+  file names and writes a small JSON manifest.
+
+System columns stored physically alongside the user schema:
+    _lsn     long    -- change_lsn of the writing event (cross-batch LWW)
+    _deleted boolean -- tombstone flag (late-arrival correctness: a delete
+                        must keep beating older events that arrive later)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SYSTEM_COLS = ["_lsn", "_deleted"]
+_SYSTEM_FIELDS = [
+    T.StructField("_lsn", T.LongType(), True),
+    T.StructField("_deleted", T.BooleanType(), True),
+]
+
+
+@dataclass(frozen=True)
+class AddColumn:
+    name: str
+    type: str  # Spark DDL type string, e.g. "int"
+
+
+@dataclass(frozen=True)
+class RenameColumn:
+    old: str
+    new: str
+
+
+@dataclass(frozen=True)
+class WidenColumn:
+    name: str
+    new_type: str
+
+
+def _schema_from_json(s: str) -> T.StructType:
+    return T.StructType.fromJson(json.loads(s))
+
+
+class LakeTable:
+    """One keyed, bucketed, snapshot-committed table."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._manifest: dict | None = None
+
+    # ------------------------------------------------------------- lifecycle
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_col: str,
+        n_buckets: int = 16,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        t = cls(spark, path)
+        manifest = {
+            "format_version": 1,
+            "version": 1,
+            "parent": None,
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "schema_version": 1,
+            "schemas": {"1": schema.jsonValue()},
+            "renames": [],  # [{"old":..., "new":..., "at_schema_version": v}]
+            "buckets": {},  # bucket id (str) -> [{"path":..., "schema_version": v}]
+            "properties": dict(properties or {}),
+            "lineage": None,
+        }
+        t._write_manifest(manifest)
+        t._manifest = manifest
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        t.refresh()
+        if t._manifest is None:
+            raise FileNotFoundError(f"no manifest under {path}")
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return bool(glob.glob(os.path.join(path, "manifests", "v*.json")))
+
+    def refresh(self) -> None:
+        files = sorted(glob.glob(os.path.join(self.path, "manifests", "v*.json")))
+        if files:
+            with open(files[-1]) as f:
+                self._manifest = json.load(f)
+
+    # ------------------------------------------------------------- metadata
+
+    @property
+    def manifest(self) -> dict:
+        if self._manifest is None:
+            self.refresh()
+        assert self._manifest is not None
+        return self._manifest
+
+    @property
+    def version(self) -> int:
+        return self.manifest["version"]
+
+    @property
+    def key_col(self) -> str:
+        return self.manifest["key_col"]
+
+    @property
+    def n_buckets(self) -> int:
+        return self.manifest["n_buckets"]
+
+    @property
+    def schema(self) -> T.StructType:
+        m = self.manifest
+        return _schema_from_json(json.dumps(m["schemas"][str(m["schema_version"])]))
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return dict(self.manifest["properties"])
+
+    @property
+    def lineage(self) -> dict | None:
+        return self.manifest["lineage"]
+
+    def snapshot_versions(self) -> list[int]:
+        files = sorted(glob.glob(os.path.join(self.path, "manifests", "v*.json")))
+        return [int(os.path.basename(p)[1:-5]) for p in files]
+
+    # ------------------------------------------------------------- commit
+
+    def _write_manifest(self, manifest: dict) -> None:
+        """Atomic publish: temp file + os.rename; refuse to clobber."""
+        mdir = os.path.join(self.path, "manifests")
+        final = os.path.join(mdir, f"v{manifest['version']:08d}.json")
+        if os.path.exists(final):
+            raise RuntimeError(
+                f"commit conflict: snapshot v{manifest['version']} already exists"
+            )
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, final)  # atomic on POSIX
+
+    def _next_manifest(self) -> dict:
+        m = json.loads(json.dumps(self.manifest))  # deep copy
+        m["parent"] = m["version"]
+        m["version"] = m["version"] + 1
+        return m
+
+    # ------------------------------------------------------------- read path
+
+    def _physical_schema(self, schema_version: int) -> T.StructType:
+        base = _schema_from_json(
+            json.dumps(self.manifest["schemas"][str(schema_version)])
+        )
+        return T.StructType(list(base.fields) + _SYSTEM_FIELDS)
+
+    def _empty_df(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [], self._physical_schema(self.manifest["schema_version"])
+        )
+
+    def _reconcile(self, df: DataFrame, from_version: int) -> DataFrame:
+        """Map a DataFrame written at an older schema version onto the current
+        schema: apply the rename chain, add missing columns as nulls, cast
+        widened types (Iceberg name-mapping lite)."""
+        m = self.manifest
+        for r in m["renames"]:
+            if r["at_schema_version"] > from_version and r["old"] in df.columns:
+                df = df.withColumnRenamed(r["old"], r["new"])
+        cur = self.schema
+        cols = []
+        for field in cur.fields:
+            if field.name in df.columns:
+                cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        for sc in SYSTEM_COLS:
+            cols.append(F.col(sc))
+        return df.select(*cols)
+
+    def _read_files(self, entries: list[dict]) -> DataFrame | None:
+        """Read a set of manifest file entries, reconciling schema versions."""
+        if not entries:
+            return None
+        by_ver: dict[int, list[str]] = {}
+        for e in entries:
+            by_ver.setdefault(e["schema_version"], []).append(
+                os.path.join(self.path, e["path"])
+            )
+        parts = []
+        for ver, files in sorted(by_ver.items()):
+            raw = (
+                self.spark.read.schema(self._physical_schema(ver))
+                # explicit leaf files; disable partition-dir inference
+                .option("recursiveFileLookup", "true")
+                .parquet(*files)
+            )
+            parts.append(self._reconcile(raw, ver))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, include_tombstones: bool = False) -> DataFrame:
+        """Current snapshot as a DataFrame (user schema; tombstones filtered)."""
+        entries = [e for files in self.manifest["buckets"].values() for e in files]
+        df = self._read_files(entries)
+        if df is None:
+            df = self._empty_df()
+        if not include_tombstones:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
+                *SYSTEM_COLS
+            )
+        return df
+
+    def read_buckets(self, bucket_ids: list[int]) -> DataFrame:
+        """Scan ONLY the named buckets (with system columns + tombstones) —
+        the bucket-pruned side of the MERGE."""
+        entries = [
+            e
+            for b, files in self.manifest["buckets"].items()
+            if int(b) in set(bucket_ids)
+            for e in files
+        ]
+        df = self._read_files(entries)
+        return df if df is not None else self._empty_df()
+
+    def bucket_expr(self, col: str | None = None) -> F.Column:
+        """The bucket id of a key value: pmod(xxhash64(key), n_buckets)."""
+        return F.pmod(F.xxhash64(F.col(col or self.key_col)), F.lit(self.n_buckets))
+
+    # ------------------------------------------------------------- write path
+
+    def replace_buckets(
+        self,
+        df_with_bucket: DataFrame,
+        touched_buckets: list[int],
+        properties: dict[str, str] | None = None,
+        lineage: dict | None = None,
+    ) -> int:
+        """Copy-on-write commit: ``df_with_bucket`` (physical schema + a
+        ``_bucket`` int column) becomes the new content of ``touched_buckets``;
+        all other buckets carry over untouched. Returns the new version.
+        """
+        m = self._next_manifest()
+        txid = f"tx-{m['version']:08d}-{uuid.uuid4().hex[:8]}"
+        tx_rel = os.path.join("data", txid)
+        tx_dir = os.path.join(self.path, tx_rel)
+
+        (
+            df_with_bucket.repartition(
+                max(len(touched_buckets), 1), F.col("_bucket")
+            )
+            .write.partitionBy("_bucket")
+            .parquet(tx_dir, mode="errorifexists")
+        )
+
+        # Map the written files back into the manifest, bucket by bucket.
+        new_files: dict[int, list[dict]] = {b: [] for b in touched_buckets}
+        for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
+            b = int(os.path.basename(bdir).split("=", 1)[1])
+            for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+                new_files.setdefault(b, []).append(
+                    {
+                        "path": os.path.relpath(fp, self.path),
+                        "schema_version": m["schema_version"],
+                    }
+                )
+        for b in touched_buckets:
+            m["buckets"][str(b)] = new_files.get(b, [])
+        if properties:
+            m["properties"].update(properties)
+        m["lineage"] = lineage
+        self._write_manifest(m)
+        self._manifest = m
+        return m["version"]
+
+    def append_bucketed(
+        self,
+        df: DataFrame,
+        properties: dict[str, str] | None = None,
+        lineage: dict | None = None,
+    ) -> int:
+        """Bulk load (pristine initial snapshot): bucket the rows and write
+        every bucket. ``df`` is in user schema; system columns defaulted."""
+        full = df
+        if "_lsn" not in full.columns:
+            full = full.withColumn("_lsn", F.lit(0).cast("long"))
+        if "_deleted" not in full.columns:
+            full = full.withColumn("_deleted", F.lit(False))
+        full = full.withColumn("_bucket", self.bucket_expr())
+        return self.replace_buckets(
+            full, list(range(self.n_buckets)), properties, lineage
+        )
+
+    # ------------------------------------------------------------- evolution
+
+    def evolve_schema(self, ops: list[AddColumn | RenameColumn | WidenColumn]) -> int:
+        """Apply add/rename/widen as a metadata-only commit (no data rewrite);
+        old files are reconciled on read. Incompatible ops hard-fail —
+        reference analog: the schema-compliance gate
+        /root/reference/Tasks/EndToEnd.cs:51-85, turned from a rejector into
+        an evolver (SURVEY.md §1, O3)."""
+        m = self._next_manifest()
+        cur = _schema_from_json(json.dumps(m["schemas"][str(m["schema_version"])]))
+        fields = list(cur.fields)
+        names = [f.name for f in fields]
+        new_sv = m["schema_version"] + 1
+        widen_ok = {
+            ("int", "bigint"),
+            ("smallint", "int"),
+            ("smallint", "bigint"),
+            ("tinyint", "smallint"),
+            ("tinyint", "int"),
+            ("tinyint", "bigint"),
+            ("float", "double"),
+            ("int", "double"),
+            ("bigint", "double"),
+        }
+        for op in ops:
+            if isinstance(op, AddColumn):
+                if op.name in names:
+                    raise ValueError(f"column {op.name} already exists")
+                fields.append(
+                    T.StructField(
+                        op.name, T._parse_datatype_string(op.type), True
+                    )
+                )
+                names.append(op.name)
+            elif isinstance(op, RenameColumn):
+                if op.old not in names:
+                    raise ValueError(f"cannot rename missing column {op.old}")
+                i = names.index(op.old)
+                fields[i] = T.StructField(op.new, fields[i].dataType, fields[i].nullable)
+                names[i] = op.new
+                m["renames"].append(
+                    {"old": op.old, "new": op.new, "at_schema_version": new_sv}
+                )
+            elif isinstance(op, WidenColumn):
+                if op.name not in names:
+                    raise ValueError(f"cannot widen missing column {op.name}")
+                i = names.index(op.name)
+                old_t = fields[i].dataType.simpleString()
+                new_t = T._parse_datatype_string(op.new_type)
+                if (old_t, new_t.simpleString()) not in widen_ok and old_t != new_t.simpleString():
+                    raise ValueError(
+                        f"incompatible widen {op.name}: {old_t} -> {new_t.simpleString()}"
+                    )
+                fields[i] = T.StructField(op.name, new_t, True)
+            else:  # pragma: no cover
+                raise TypeError(f"unknown evolution op {op!r}")
+        m["schema_version"] = new_sv
+        m["schemas"][str(new_sv)] = T.StructType(fields).jsonValue()
+        self._write_manifest(m)
+        self._manifest = m
+        return m["version"]

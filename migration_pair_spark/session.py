@@ -1,0 +1,73 @@
+"""SparkSession factory (reference analog: cluster/session builders in
+/root/reference/Tasks/MigrationTask.cs:29-60).
+
+All engine code gets its session from here so the scale-relevant knobs are
+set in exactly one place:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+- shuffle partitions sized to cores (not the 200 default),
+- Arrow enabled for every pandas-UDF exchange,
+- UTC session timezone (pins timestamp semantics for the DuckDB oracle and
+  for the epoch-millis normalization inherited from the reference,
+  /root/reference/Tasks/Extraction.cs:67-68).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "migration_pair_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the master comes from spark-submit and this argument is left
+    None. ``shuffle_partitions`` defaults to the core count locally; on a
+    cluster AQE coalescing makes the initial number non-critical.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] or local[*]
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        shuffle_partitions = cpus if inner in ("*", "") else int(inner)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # Ship the engine package to executors (pandas UDFs unpickle it there);
+    # on a real cluster this is the --py-files archive (packaging.py).
+    from migration_pair_spark.packaging import ship_package
+
+    ship_package(spark)
+    return spark
+
+
+def stop_spark() -> None:
+    """Stop the active session (used by the bench to switch local[N] levels)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

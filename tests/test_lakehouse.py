@@ -1,0 +1,125 @@
+"""LakeTable unit tests: atomic snapshot commits, bucket-pruned reads,
+schema evolution with on-read reconciliation, commit-conflict rejection."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migration_pair_spark.lakehouse import (
+    AddColumn,
+    LakeTable,
+    RenameColumn,
+    WidenColumn,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("fetch_status", T.IntegerType(), True),
+    ]
+)
+
+
+def _mk(spark, path, n_buckets=4):
+    return LakeTable.create(spark, path, SCHEMA, key_col="url", n_buckets=n_buckets)
+
+
+def _rows(spark, n=20):
+    return spark.range(n).select(
+        F.concat(F.lit("https://u/"), F.col("id")).alias("url"),
+        F.timestamp_millis(F.col("id") * 1000).alias("warc_ts"),
+        F.lit("en").alias("lang"),
+        F.lit(200).alias("fetch_status"),
+    )
+
+
+def test_create_load_empty(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    assert t.version == 1
+    assert LakeTable.load(spark, tmp_table_dir).read().count() == 0
+    assert LakeTable.exists(tmp_table_dir)
+    assert not LakeTable.exists(tmp_table_dir + "-nope")
+
+
+def test_append_and_read(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    v = t.append_bucketed(_rows(spark), properties={"engine.max_lsn": "5"})
+    assert v == 2
+    got = t.read()
+    assert got.count() == 20
+    assert set(got.columns) == {"url", "warc_ts", "lang", "fetch_status"}
+    assert t.properties["engine.max_lsn"] == "5"
+
+
+def test_bucket_pruning_reads_only_named_buckets(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, n_buckets=4)
+    t.append_bucketed(_rows(spark, 100))
+    whole = t.read().count()
+    per_bucket = [t.read_buckets([b]).count() for b in range(4)]
+    assert sum(per_bucket) == whole == 100
+    assert all(c > 0 for c in per_bucket)  # hash spreads keys
+    # pruned read of one bucket touches only that bucket's files
+    m = t.manifest
+    assert all(len(files) > 0 for files in m["buckets"].values())
+
+
+def test_commit_conflict_rejected(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.append_bucketed(_rows(spark, 4))
+    stale = LakeTable(spark, tmp_table_dir)
+    stale._manifest = {**t.manifest, "version": t.version - 1}
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        stale._write_manifest({**stale._manifest, "version": t.version})
+
+
+def test_snapshot_versions_and_refresh(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.append_bucketed(_rows(spark, 4))
+    t.append_bucketed(_rows(spark, 4))
+    assert t.snapshot_versions() == [1, 2, 3]
+    t2 = LakeTable.load(spark, tmp_table_dir)
+    assert t2.version == 3
+
+
+def test_evolution_add_rename_widen_reconciles_old_files(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.append_bucketed(_rows(spark, 10))  # written at schema v1
+    t.evolve_schema([AddColumn("score", "double")])
+    t.evolve_schema([RenameColumn("lang", "language"), WidenColumn("fetch_status", "long")])
+    got = t.read()
+    assert got.schema["language"].dataType == T.StringType()
+    assert got.schema["fetch_status"].dataType == T.LongType()
+    assert got.schema["score"].dataType == T.DoubleType()
+    pdf = got.toPandas()
+    assert len(pdf) == 10
+    assert set(pdf["language"]) == {"en"}          # old files mapped onto new name
+    assert pdf["score"].isna().all()               # added column backfills null
+    assert set(pdf["fetch_status"]) == {200}
+
+
+def test_incompatible_widen_hard_fails(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    with pytest.raises(ValueError, match="incompatible widen"):
+        t.evolve_schema([WidenColumn("fetch_status", "string")])
+    with pytest.raises(ValueError, match="already exists"):
+        t.evolve_schema([AddColumn("lang", "string")])
+    with pytest.raises(ValueError, match="missing column"):
+        t.evolve_schema([RenameColumn("nope", "x")])
+
+
+def test_tombstones_hidden_by_default(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    df = _rows(spark, 10).withColumn("_lsn", F.lit(1).cast("long")).withColumn(
+        "_deleted", F.col("url").endswith("3")
+    )
+    t.replace_buckets(
+        df.withColumn("_bucket", t.bucket_expr()), list(range(4))
+    )
+    assert t.read().count() == 9
+    assert t.read(include_tombstones=True).count() == 10

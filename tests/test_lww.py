@@ -1,0 +1,74 @@
+"""LWW dedup unit tests (SURVEY.md §5.2 #1): duplicates, warc_ts ties broken
+by change_lsn, out-of-order arrival, and salt invariance (salt only affects
+partitioning, never the winner)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from migration_pair_spark.cdc.lww import lww_dedup
+from migration_pair_spark import synth
+
+TS = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+
+ROWS = [
+    # url, warc_ts, change_lsn, op
+    ("u1", TS(10), 1, "insert"),
+    ("u1", TS(30), 2, "update"),   # winner for u1 (latest ts)
+    ("u1", TS(20), 3, "update"),   # later lsn but older ts -> loses
+    ("u2", TS(10), 4, "insert"),
+    ("u2", TS(10), 7, "update"),   # tie on ts -> lsn 7 wins
+    ("u2", TS(10), 5, "update"),
+    ("u3", TS(50), 6, "delete"),   # single event
+]
+
+
+def _df(spark, rows=ROWS):
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, change_lsn long, op string"
+    )
+
+
+def _winners(df, **kw):
+    return {
+        r.url: (r.change_lsn, r.op)
+        for r in lww_dedup(df, **kw).collect()
+    }
+
+
+def test_basic_winners(spark):
+    w = _winners(_df(spark))
+    assert w == {"u1": (2, "update"), "u2": (7, "update"), "u3": (6, "delete")}
+
+
+def test_tie_on_ts_broken_by_lsn(spark):
+    w = _winners(_df(spark))
+    assert w["u2"] == (7, "update")
+
+
+def test_salt_invariance(spark):
+    df = _df(spark)
+    for salt in (1, 2, 16, 64):
+        assert _winners(df, salt_buckets=salt) == _winners(df, salt_buckets=1)
+
+
+def test_salt_invariance_on_skewed_stream(spark):
+    # zipf-skewed synthetic stream: hot urls dominate; winners must be
+    # identical under any salting.
+    pdf = synth.make_change_events(1200, 50, seed=7)
+    df = spark.createDataFrame(pdf)
+    unsalted = _winners(df, salt_buckets=1)
+    assert _winners(df, salt_buckets=32) == unsalted
+    # independent pandas oracle
+    oracle = synth.oracle_final_state(pdf)
+    want_lsn = dict(zip(oracle.url, oracle.change_lsn))
+    got_non_delete = {u: v[0] for u, v in unsalted.items() if v[1] != "delete"}
+    assert {u: l for u, l in got_non_delete.items() if u in want_lsn} == want_lsn
+
+
+def test_exactly_one_row_per_key(spark):
+    out = lww_dedup(_df(spark))
+    assert out.count() == out.select("url").distinct().count() == 3

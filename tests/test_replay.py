@@ -1,0 +1,134 @@
+"""Replay-equivalence — the north-rule correctness check (SURVEY.md §5.2 #2-3).
+
+The same deterministic change stream applied (a) as one batch, (b) as k
+micro-batches, (c) as a stream killed mid-run and restarted from checkpoint,
+(d) delivered twice end-to-end, must produce byte-identical final table
+states, all equal to the independent pandas oracle. Exactly-once is asserted
+from lineage: no applied batch overlaps a previously-committed LSN range.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from migration_pair_spark import synth
+from migration_pair_spark.cdc.apply import WATERMARK_PROP, read_lineage
+from migration_pair_spark.cdc.runner import CdcPipeline
+from migration_pair_spark.functions.extract import extract_text
+from migration_pair_spark.lakehouse.table import LakeTable
+
+N_EVENTS, N_URLS, N_FILES = 800, 90, 5
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("stream") / "events")
+    full = synth.write_change_stream(d, N_EVENTS, N_URLS, N_FILES, seed=42)
+    return d, full
+
+
+def _state(spark, table_path):
+    """Canonical final-state fingerprint: sorted rows of all user columns."""
+    t = LakeTable.load(spark, table_path)
+    pdf = t.read().toPandas().sort_values("url").reset_index(drop=True)
+    return [
+        (r.url, r.warc_ts, bytes(r.html) if r.html is not None else None, r.text, r.lang)
+        for r in pdf.itertuples()
+    ]
+
+
+def _oracle_state(full):
+    o = synth.oracle_final_state(full).sort_values("url")
+    return [
+        (
+            r.url,
+            r.warc_ts.to_pydatetime(),
+            bytes(r.html),
+            extract_text(r.html),
+            r.lang,
+        )
+        for r in o.itertuples()
+    ]
+
+
+def _pipe(tmp_path, name):
+    return CdcPipeline(
+        table_path=str(tmp_path / name), n_buckets=8, salt_buckets=8
+    )
+
+
+def test_one_batch_equals_oracle(spark, stream_dir, tmp_path):
+    d, full = stream_dir
+    pipe = _pipe(tmp_path, "one")
+    events = spark.read.parquet(d)
+    lineage = pipe.apply_batch(spark, events)
+    assert not lineage["skipped"]
+    assert _state(spark, pipe.table_path) == _oracle_state(full)
+
+
+def test_k_micro_batches_equal_one_batch(spark, stream_dir, tmp_path):
+    d, full = stream_dir
+    pipe = _pipe(tmp_path, "k")
+    lineages = pipe.run_stream(
+        spark, d, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    assert len(lineages) == N_FILES
+    assert not any(l["skipped"] for l in lineages)
+    assert _state(spark, pipe.table_path) == _oracle_state(full)
+
+
+def test_duplicate_delivery_converges(spark, stream_dir, tmp_path):
+    d, full = stream_dir
+    pipe = _pipe(tmp_path, "dup")
+    pipe.run_stream(spark, d, str(tmp_path / "ckpt1"), max_files_per_trigger=2)
+    # whole stream re-delivered with a FRESH checkpoint
+    lin2 = pipe.run_stream(spark, d, str(tmp_path / "ckpt2"), max_files_per_trigger=3)
+    assert all(l["skipped"] for l in lin2)
+    assert _state(spark, pipe.table_path) == _oracle_state(full)
+
+
+def test_kill_restart_from_checkpoint(spark, stream_dir, tmp_path):
+    d, full = stream_dir
+    pipe = _pipe(tmp_path, "kill")
+    ckpt = str(tmp_path / "ckpt")
+
+    class Boom(Exception):
+        pass
+
+    applied = []
+
+    def killer(batch_id, lineage):
+        applied.append(lineage)
+        if len(applied) == 2:  # crash after the 2nd applied batch COMMITTED
+            raise Boom("injected crash")
+
+    with pytest.raises(Exception):
+        pipe.run_stream(spark, d, ckpt, max_files_per_trigger=1, on_batch=killer)
+    assert len(applied) >= 2
+
+    # restart from the same checkpoint: must converge, applying each LSN once
+    pipe.run_stream(spark, d, ckpt, max_files_per_trigger=1)
+    assert _state(spark, pipe.table_path) == _oracle_state(full)
+
+    # exactly-once: applied (non-skipped) lineage LSN ranges are disjoint and
+    # monotone; the crashed batch was re-delivered but trimmed/skipped by the
+    # watermark gate.
+    lineages = [l for l in read_lineage(LakeTable.load(spark, pipe.table_path)) if not l["skipped"]]
+    ends = 0
+    for l in sorted(lineages, key=lambda x: x["lsn_max"]):
+        assert l["lsn_min"] > ends or l["rows_skipped"] > 0
+        assert l["lsn_max"] > ends
+        ends = l["lsn_max"]
+    assert ends == N_EVENTS
+
+
+def test_watermark_committed_atomically_with_data(spark, stream_dir, tmp_path):
+    d, full = stream_dir
+    pipe = _pipe(tmp_path, "wm")
+    pipe.run_stream(spark, d, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    t = LakeTable.load(spark, pipe.table_path)
+    assert int(t.properties[WATERMARK_PROP]) == N_EVENTS
+    # every snapshot's manifest carries its own watermark (no side-channel)
+    assert t.manifest["lineage"]["lsn_max"] == N_EVENTS

@@ -1,0 +1,55 @@
+"""Mid-stream schema evolution (SURVEY.md §5.2 #4, FIXTURES.md F3): epoch 2
+adds fetch_status:int, epoch 3 renames lang->language and widens
+fetch_status to long. Final schema AND final state must match the oracle,
+with pre-rename events mapped onto the new names."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from migration_pair_spark import synth
+from migration_pair_spark.cdc.apply import EPOCH_PROP
+from migration_pair_spark.cdc.runner import CdcPipeline
+from migration_pair_spark.lakehouse.table import LakeTable
+
+
+@pytest.fixture(scope="module")
+def evo_stream(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("evo") / "events")
+    full = synth.write_change_stream(d, 600, 80, 6, seed=42, evolution=True)
+    return d, full
+
+
+def test_evolution_final_schema_and_state(spark, evo_stream, tmp_path):
+    d, full = evo_stream
+    pipe = CdcPipeline(table_path=str(tmp_path / "pages"), n_buckets=8, salt_buckets=4)
+    lineages = pipe.run_stream(spark, d, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert len(lineages) == 6
+    t = LakeTable.load(spark, pipe.table_path)
+
+    # final schema is the epoch-3 schema
+    got = {f.name: f.dataType for f in t.schema.fields}
+    assert "lang" not in got
+    assert got["language"] == T.StringType()
+    assert got["fetch_status"] == T.LongType()
+    assert t.properties[EPOCH_PROP] == "3"
+
+    # final state matches the oracle, old `lang` values visible as `language`
+    res = t.read().toPandas().sort_values("url").reset_index(drop=True)
+    oracle = synth.oracle_final_state(full).sort_values("url").reset_index(drop=True)
+    assert list(res["url"]) == list(oracle["url"])
+    assert list(res["language"]) == list(oracle["lang"])
+    assert list(res["warc_ts"]) == list(oracle["warc_ts"])
+
+
+def test_evolution_is_idempotent_on_replay(spark, evo_stream, tmp_path):
+    d, full = evo_stream
+    pipe = CdcPipeline(table_path=str(tmp_path / "pages"), n_buckets=8, salt_buckets=4)
+    pipe.run_stream(spark, d, str(tmp_path / "c1"), max_files_per_trigger=2)
+    v_before = LakeTable.load(spark, pipe.table_path).version
+    lin2 = pipe.run_stream(spark, d, str(tmp_path / "c2"), max_files_per_trigger=1)
+    assert all(l["skipped"] for l in lin2)
+    t = LakeTable.load(spark, pipe.table_path)
+    assert t.version == v_before  # no new snapshots, no re-evolution
+    assert t.properties[EPOCH_PROP] == "3"
