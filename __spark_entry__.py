@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship CDC final-state query; ``queries`` /
+``oracle_sql`` expose the full operator catalog from
+``migration_pair_spark.queries`` (SURVEY.md §2 coverage). Non-SQL-expressible
+operators (approximate ANN) ship a queries() entry only -> rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from migration_pair_spark.queries import REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC final-state materialization (LWW winner per key with
+    tombstone drop) on /root/testdata/sf0.001."""
+    from migration_pair_spark.packaging import ship_package
+
+    ship_package(spark)
+    return REGISTRY["cdc_final_state"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def wrap(name):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from migration_pair_spark.packaging import ship_package
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+            ship_package(spark)  # pandas UDFs need the package on executors
+            return REGISTRY[name].fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(name) for name in REGISTRY}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: qd.sql for name, qd in REGISTRY.items() if qd.sql is not None}

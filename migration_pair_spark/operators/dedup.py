@@ -1,0 +1,206 @@
+"""Deduplication family over the ``documents`` table: exact, char-shingle
+MinHash + LSH banding, n-gram Jaccard verification, and SimHash.
+
+Everything is a composition of built-in DataFrame ops (explode / groupBy /
+self-join) — JVM-side, codegen'd, shuffle-aware. Hash functions are chosen
+for *cross-engine determinism* (md5 over utf-8 strings exists bit-identically
+in Spark and DuckDB), so each step has an exact SQL oracle.
+
+Scale shape (100 TB corpus):
+- shingling explodes ~L rows per doc — a narrow map-side op, no shuffle;
+- signatures are one groupBy(doc) — a single shuffle on doc_id;
+- LSH banding self-joins on (band, band_hash) — the join key is the bucket,
+  so only docs sharing a bucket meet; hot buckets (boilerplate pages) are the
+  skew risk, handled by AQE skew-join + the candidate cap;
+- Jaccard verification joins shingle sets ONLY for candidate pairs (semi-join
+  pushdown), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MINHASH_SEEDS = ["s0", "s1", "s2", "s3"]
+SHINGLE_K = 5
+SIMHASH_BITS = 16
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one keeper (min id) per distinct text."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
+    """Distinct char k-gram shingles per doc: (doc_id, shingle)."""
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"sequence(1, greatest(length({text_col}) - {k - 1}, 1))")
+            ).alias("pos"),
+            F.col(text_col),
+        )
+        .select(F.col(id_col), F.substring(F.col(text_col), F.col("pos"), k).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seeds: list[str] = MINHASH_SEEDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """MinHash signature per doc: for each seed, min(md5(seed || shingle)).
+    One shuffle (groupBy doc)."""
+    sh = shingles(docs, text_col, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"h{i}")
+        for i, seed in enumerate(seeds)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: tuple[tuple[int, ...], ...] = ((0, 1), (2, 3)),
+) -> DataFrame:
+    """Band the signature (rows-per-band LSH) and self-join on the band
+    bucket: docs agreeing on ANY full band become a candidate pair
+    (doc_a < doc_b, distinct)."""
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(F.concat_ws("|", *[F.col(f"h{j}") for j in cols])).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi, cols in enumerate(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SHINGLE_K,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs only: semi-join the shingle
+    sets down to candidate docs, count the intersection per pair, and divide
+    by |A| + |B| - |A∩B|."""
+    sh = shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, id_col, "left_semi")
+    inter = (
+        pairs.join(sh_c.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(
+            sh_c.alias("sb"),
+            (F.col("doc_b") == F.col(f"sb.{id_col}"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.alias("za"), F.col("doc_a") == F.col(f"za.{id_col}"))
+        .join(sizes.alias("zb"), F.col("doc_b") == F.col(f"zb.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.sz") + F.col("zb.sz") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash over whitespace tokens using md5 'hyperplanes': plane j votes
+    +1 when md5('p{j}:' || token) starts below hex '8' (an unbiased coin),
+    -1 otherwise; bit j is set when the vote sum is positive. Expressible in
+    both engines with pure string ops — no bit twiddling needed."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.concat(F.lit(f"p{j}:"), F.col("tok"))), 1, 1)
+                < F.lit("8"),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_oracle_sql(table: str = "documents", text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> str:
+    """DuckDB twin of :func:`simhash` (kept adjacent for lockstep evolution)."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN substr(md5('p{j}:' || tok), 1, 1) < '8' THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    terms = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+        WITH toks AS (
+            SELECT {id_col}, unnest(string_split_regex(trim({text_col}), '\\s+')) AS tok
+            FROM {table}
+        ), agg AS (
+            SELECT {id_col}, {votes} FROM toks GROUP BY {id_col}
+        )
+        SELECT {id_col}, CAST({terms} AS BIGINT) AS simhash FROM agg
+    """

