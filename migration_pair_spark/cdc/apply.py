@@ -29,11 +29,11 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from migration_pair_spark.cdc.lww import lww_dedup
-from migration_pair_spark.functions.extract import extract_text_udf
+from migration_pair_spark.cdc.lww import lww_dedup_agg
+from migration_pair_spark.functions.extract import with_extracted_text
 from migration_pair_spark.lakehouse.table import LakeTable
 
 WATERMARK_PROP = "engine.max_lsn"
@@ -57,14 +57,31 @@ def apply_cdc_batch(
     table.refresh()  # another writer (or a previous incarnation) may have committed
 
     # -- 1-2: watermark gate ------------------------------------------------
+    # One column-pruned pass over the batch yields the gate stats AND the
+    # touched-bucket set (winner urls == distinct batch urls, so the fresh
+    # rows' bucket set is exactly the merge's write set).
     wm = int(table.properties.get(WATERMARK_PROP, "0"))
-    stats = batch.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("change_lsn").alias("lsn_min"),
-        F.max("change_lsn").alias("lsn_max"),
-        F.max("schema_epoch").alias("max_epoch"),
-        F.sum((F.col("change_lsn") <= F.lit(wm)).cast("long")).alias("n_stale"),
-    ).collect()[0]
+    per_bucket = (
+        batch.groupBy(table.bucket_expr().alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("change_lsn").alias("lsn_min"),
+            F.max("change_lsn").alias("lsn_max"),
+            F.max("schema_epoch").alias("max_epoch"),
+            F.sum((F.col("change_lsn") <= F.lit(wm)).cast("long")).alias("n_stale"),
+        )
+        .collect()
+    )
+
+    class _Stats:
+        n = sum(r["n"] for r in per_bucket)
+        n_stale = sum(r["n_stale"] or 0 for r in per_bucket)
+        lsn_min = min((r["lsn_min"] for r in per_bucket), default=None)
+        lsn_max = max((r["lsn_max"] for r in per_bucket), default=None)
+        max_epoch = max((r["max_epoch"] or 1 for r in per_bucket), default=1)
+
+    stats = _Stats
+    touched = sorted(r["_b"] for r in per_bucket if r["n"] > (r["n_stale"] or 0))
     lineage_base = {
         "batch_id": batch_id,
         "lsn_min": int(stats.lsn_min) if stats.lsn_min is not None else None,
@@ -95,19 +112,19 @@ def apply_cdc_batch(
 
     fresh = batch.filter(F.col("change_lsn") > F.lit(wm))
 
-    # -- 4: salted LWW dedup per key -----------------------------------------
+    # -- 4: LWW dedup per key (aggregate form: map-side combine makes the
+    # shuffle O(distinct keys) and neutralizes hot-key skew without salting;
+    # see lww.lww_dedup_agg docstring) ---------------------------------------
     key = table.key_col
-    winners = lww_dedup(
-        fresh, key_cols=(key,), order_cols=("warc_ts", "change_lsn"),
-        salt_buckets=salt_buckets,
+    winners = lww_dedup_agg(
+        fresh, key_cols=(key,), order_cols=("warc_ts", "change_lsn")
     )
 
-    # -- 5: vectorized text extraction, winners only --------------------------
+    # -- 5: vectorized text extraction, winners only (mapInArrow: columns
+    # stay Arrow buffers, the RE2 chain is the only Python-side work; delete
+    # winners carry html=null and extract to null) ---------------------------
     if extract_text and "html" in winners.columns:
-        winners = winners.withColumn(
-            "text",
-            F.when(F.col("op") != "delete", extract_text_udf(F.col("html"))),
-        )
+        winners = with_extracted_text(winners, html_col="html", out_col="text")
 
     # Project winners onto the physical table schema, casting every column to
     # the table's CURRENT type (the stream side may carry wider superset
@@ -122,36 +139,21 @@ def apply_cdc_batch(
         (F.col("op") == "delete").alias("_deleted"),
     ).withColumn("_bucket", table.bucket_expr())
 
-    # -- 6: bucket-pruned merge (union + cross-batch LWW re-rank) ------------
-    touched = [r[0] for r in winners_phys.select("_bucket").distinct().collect()]
-    op_counts = {
-        r["_deleted"]: r["n"]
-        for r in winners_phys.groupBy("_deleted").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # -- 6: bucket-pruned merge (union + cross-batch LWW re-rank). The heavy
+    # pipeline (dedup + extraction) flows exactly ONCE, straight into the
+    # write — no persist/columnar-cache materialization in between.
     current = table.read_buckets(touched).withColumn("_bucket", table.bucket_expr())
     merged = current.unionByName(winners_phys)
-    w = Window.partitionBy(key).orderBy(
-        F.col("warc_ts").desc_nulls_last(), F.col("_lsn").desc_nulls_last()
-    )
-    final = (
-        merged.withColumn(_RN, F.row_number().over(w))
-        .filter(F.col(_RN) == 1)
-        .drop(_RN)
-    )
+    # Cross-batch LWW guard, also as an aggregate: at most 2 rows per key
+    # meet here (stored row + batch winner), ordered by (warc_ts, _lsn).
+    final = lww_dedup_agg(merged, key_cols=(key,), order_cols=("warc_ts", "_lsn"))
 
     # -- 7: atomic commit: data + watermark + lineage in one snapshot --------
-    bucket_counts = {
-        str(r["_bucket"]): r["n"]
-        for r in winners_phys.groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
     lineage = {
         **lineage_base,
         "skipped": False,
         "rows_skipped": int(stats.n_stale or 0),  # already-applied (<= watermark)
-        "rows_upserted": int(op_counts.get(False, 0)),
-        "rows_deleted": int(op_counts.get(True, 0)),
-        "partition_counts": bucket_counts,
-        "wall_ms": int((time.monotonic() - t0) * 1000),  # pre-commit; final below
+        "wall_ms": None,  # filled after commit
     }
     new_version = table.replace_buckets(
         final,
@@ -159,6 +161,26 @@ def apply_cdc_batch(
         properties={WATERMARK_PROP: str(int(stats.lsn_max)), **epoch_props},
         lineage=lineage,
     )
+    # Per-batch counters from a column-pruned scan of the rows that actually
+    # landed (this batch's rows are exactly those with _lsn > watermark) —
+    # cheaper than caching the whole winner set just to count it, and more
+    # faithful: rows that lost the cross-batch guard are not counted.
+    applied_stats = (
+        table.read_buckets(touched)
+        .filter(F.col("_lsn") > F.lit(wm))
+        .withColumn("_bucket", table.bucket_expr())
+        .groupBy("_bucket", "_deleted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    op_counts: dict[bool, int] = {}
+    bucket_counts: dict[str, int] = {}
+    for r in applied_stats:
+        op_counts[r["_deleted"]] = op_counts.get(r["_deleted"], 0) + r["n"]
+        bucket_counts[str(r["_bucket"])] = bucket_counts.get(str(r["_bucket"]), 0) + r["n"]
+    lineage["rows_upserted"] = int(op_counts.get(False, 0))
+    lineage["rows_deleted"] = int(op_counts.get(True, 0))
+    lineage["partition_counts"] = bucket_counts
     lineage["snapshot_id"] = new_version
     lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
     # Append-only per-table audit log (manifest holds the same record).

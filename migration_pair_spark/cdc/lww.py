@@ -63,3 +63,36 @@ def lww_dedup(
     # Phase 2 input is <= salt_buckets rows per key — no skew left.
     w2 = Window.partitionBy(*key_cols).orderBy(*order)
     return phase1.withColumn(_RN, F.row_number().over(w2)).filter(F.col(_RN) == 1).drop(_RN)
+
+
+def lww_dedup_agg(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("url",),
+    order_cols: Sequence[str] = ("warc_ts", "change_lsn"),
+) -> DataFrame:
+    """LWW dedup as an AGGREGATE instead of a window: per key, keep the row
+    whose ``struct(order_cols)`` is maximal (lexicographic struct comparison
+    gives exactly the (warc_ts, change_lsn) total order).
+
+    This is the CDC hot-path implementation. Versus the window form it
+
+    - gets map-side partial aggregation (combiners): each input partition
+      forwards AT MOST ONE candidate per key to the shuffle, so the shuffle
+      volume is ~|distinct keys per partition|, not |rows| — at 10^10 events
+      with zipf-hot urls this is the difference between shuffling terabytes
+      and shuffling the key space;
+    - needs no salting: the hot key's rows are pre-combined in every map
+      partition, so no single reducer ever sees more than (#map partitions)
+      rows for a key;
+    - skips the per-partition sort a window requires.
+
+    Output column order: key_cols first, then the remaining columns in input
+    order. Semantics identical to ``lww_dedup`` (asserted in test_lww.py).
+    """
+    key_cols = list(key_cols)
+    payload = [c for c in df.columns if c not in key_cols]
+    ord_struct = F.struct(*[F.col(c) for c in order_cols])
+    out = df.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ord_struct).alias("_w")
+    )
+    return out.select(*key_cols, *[F.col(f"_w.{c}").alias(c) for c in payload])

@@ -292,11 +292,15 @@ class LakeTable:
         tx_rel = os.path.join("data", txid)
         tx_dir = os.path.join(self.path, tx_rel)
 
+        # No repartition before the write: Spark's sort-based dynamic-partition
+        # writer routes rows to bucket directories with a per-task local sort,
+        # so skipping the extra full shuffle of the merged output saves the
+        # single largest data movement of a MERGE. Cost: up to one file per
+        # (task x bucket) per snapshot instead of one per bucket — acceptable
+        # until a compaction pass exists (future work; manifest already
+        # supports it as a replace_buckets of untouched content).
         (
-            df_with_bucket.repartition(
-                max(len(touched_buckets), 1), F.col("_bucket")
-            )
-            .write.partitionBy("_bucket")
+            df_with_bucket.write.partitionBy("_bucket")
             .parquet(tx_dir, mode="errorifexists")
         )
 

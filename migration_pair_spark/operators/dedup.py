@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-MINHASH_SEEDS = ["s0", "s1", "s2", "s3"]
+MINHASH_SEEDS = [f"s{i}" for i in range(8)]
+# Default banding: 2 bands x 4 rows. P(candidate) = 1-(1-j^4)^2 — steep
+# enough that a word-sampled synthetic corpus (inherently self-similar)
+# doesn't flood the verifier with middling-jaccard candidate pairs.
+DEFAULT_BANDS: tuple[tuple[int, ...], ...] = ((0, 1, 2, 3), (4, 5, 6, 7))
 SHINGLE_K = 5
 SIMHASH_BITS = 16
 
@@ -58,10 +62,13 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seeds: list[str] = MINHASH_SEEDS,
     k: int = SHINGLE_K,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per doc: for each seed, min(md5(seed || shingle)).
-    One shuffle (groupBy doc)."""
-    sh = shingles(docs, text_col, id_col, k)
+    One shuffle (groupBy doc). Pass a persisted ``shingles_df`` when the
+    shingle set is shared with other stages (LSH verify) to avoid
+    recomputing the explode+distinct pipeline."""
+    sh = shingles_df if shingles_df is not None else shingles(docs, text_col, id_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"h{i}")
         for i, seed in enumerate(seeds)
@@ -72,7 +79,7 @@ def minhash_signatures(
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
-    bands: tuple[tuple[int, ...], ...] = ((0, 1), (2, 3)),
+    bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS,
 ) -> DataFrame:
     """Band the signature (rows-per-band LSH) and self-join on the band
     bucket: docs agreeing on ANY full band become a candidate pair
@@ -116,13 +123,16 @@ def jaccard_verify(
     id_col: str = "doc_id",
     k: int = SHINGLE_K,
     threshold: float = 0.0,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs only: semi-join the shingle
     sets down to candidate docs, count the intersection per pair, and divide
-    by |A| + |B| - |A∩B|."""
-    sh = shingles(docs, text_col, id_col, k)
+    by |A| + |B| - |A∩B|. The pair set is small by construction (LSH
+    pre-filter), so it is broadcast to both shingle-join sides."""
+    sh = shingles_df if shingles_df is not None else shingles(docs, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    cand_docs = (
+    pairs = F.broadcast(pairs)
+    cand_docs = F.broadcast(
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select("doc_b"))
         .distinct()

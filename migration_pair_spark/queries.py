@@ -584,11 +584,10 @@ def ngram_shingle_counts(spark, sf_dir):
     )
 
 
+_SIG_COLS = ", ".join(f"min(md5('s{i}' || shingle)) AS h{i}" for i in range(8))
 _SIG_SQL = f"""
     WITH sh AS ({_SH_SQL})
-    SELECT doc_id,
-           min(md5('s0' || shingle)) AS h0, min(md5('s1' || shingle)) AS h1,
-           min(md5('s2' || shingle)) AS h2, min(md5('s3' || shingle)) AS h3
+    SELECT doc_id, {_SIG_COLS}
     FROM sh GROUP BY doc_id
 """
 
@@ -607,9 +606,9 @@ def minhash_signatures_docs(spark, sf_dir):
     WITH sh AS ({_SH_SQL}),
     sig AS ({_SIG_SQL}),
     bands AS (
-        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM sig
         UNION ALL
-        SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig
+        SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM sig
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -629,9 +628,12 @@ def minhash_signatures_docs(spark, sf_dir):
 )
 def lsh_dup_pairs(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    sig = dd.minhash_signatures(docs)
-    pairs = dd.lsh_candidate_pairs(sig)
-    return dd.jaccard_verify(docs, pairs)
+    # the shingle set feeds three stages (signatures, candidate filter,
+    # Jaccard verify) — materialize it once
+    sh = dd.shingles(docs).persist()
+    sig = dd.minhash_signatures(docs, shingles_df=sh)
+    pairs = dd.lsh_candidate_pairs(sig).persist()
+    return dd.jaccard_verify(docs, pairs, shingles_df=sh)
 
 
 @q(

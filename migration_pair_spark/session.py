@@ -51,7 +51,21 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: driver heap IS executor memory; size for the box, not
+        # the default 1g/8g — 32 concurrent tasks + cached micro-batch state
+        # at an 8g heap GC-thrash and invert core scaling (measured).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Shuffle spill dir: the sandbox's single virtio disk tops out at
+        # ~475 MB/s and serializes all cores (measured: local[4] beat
+        # local[16] on a shuffle-heavy job). tmpfs restores the per-node
+        # I/O bandwidth a real cluster gets from node-local NVMe.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/mps-spark" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -66,6 +66,7 @@ def make_change_events(
     seed: int = 42,
     zipf_s: float = 1.2,
     op_mix: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    words_per_doc: int = 12,
 ) -> pd.DataFrame:
     """The F2 change stream: strictly monotone unique change_lsn, zipf-skewed
     urls, out-of-order (per url) warc_ts with deliberate ties, 60/30/10
@@ -87,8 +88,18 @@ def make_change_events(
     langs = rng.choice(np.array(_LANGS), size=n_events)
     revs = rng.integers(0, 1_000_000, size=n_events)
 
+    # Vectorized page synthesis: the 12 body words come from one bulk draw
+    # (seeded), so generation stays deterministic AND fast at 10^6+ events.
+    word_idx = rng.integers(0, len(_WORDS), size=(n_events, words_per_doc))
+    words_arr = np.array(_WORDS)
     html = [
-        None if ops[i] == "delete" else make_html(int(url_idx[i]), int(revs[i]), _rng(int(revs[i])))
+        None
+        if ops[i] == "delete"
+        else (
+            f"<html><head><title>T{url_idx[i]}</title><script>var x={revs[i]};</script></head>"
+            f"<body><h1>Page {url_idx[i]}</h1><p>rev {revs[i]}: {' '.join(words_arr[word_idx[i]])}</p>"
+            f"<p>&amp; more &lt;text&gt;</p></body></html>"
+        ).encode("utf-8")
         for i in range(n_events)
     ]
     return pd.DataFrame(
@@ -134,6 +145,7 @@ def write_change_stream(
     n_files: int,
     seed: int = 42,
     evolution: bool = False,
+    words_per_doc: int = 12,
 ) -> pd.DataFrame:
     """Write the change stream as ``n_files`` ordered parquet files
     (file i named ``events-{i:05d}.parquet`` so lexical order == LSN order).
@@ -144,7 +156,7 @@ def write_change_stream(
     DataFrame (epoch-1 shape) for oracle computation.
     """
     os.makedirs(out_dir, exist_ok=True)
-    df = make_change_events(n_events, n_urls, seed=seed)
+    df = make_change_events(n_events, n_urls, seed=seed, words_per_doc=words_per_doc)
     bounds = np.linspace(0, n_events, n_files + 1, dtype=int)
     rng = _rng(seed + 1)
     for i in range(n_files):

@@ -9,7 +9,7 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from migration_pair_spark.cdc.lww import lww_dedup
+from migration_pair_spark.cdc.lww import lww_dedup, lww_dedup_agg
 from migration_pair_spark import synth
 
 TS = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
@@ -72,3 +72,21 @@ def test_salt_invariance_on_skewed_stream(spark):
 def test_exactly_one_row_per_key(spark):
     out = lww_dedup(_df(spark))
     assert out.count() == out.select("url").distinct().count() == 3
+
+
+def test_agg_form_equals_window_form(spark):
+    # the CDC hot path uses the max_by aggregate; it must pick exactly the
+    # same winners as the window rank on skewed, tied, out-of-order input
+    pdf = synth.make_change_events(1500, 60, seed=11)
+    df = spark.createDataFrame(pdf)
+    via_window = {
+        (r.url, r.change_lsn) for r in lww_dedup(df, salt_buckets=16).collect()
+    }
+    via_agg = {(r.url, r.change_lsn) for r in lww_dedup_agg(df).collect()}
+    assert via_agg == via_window
+
+
+def test_agg_form_preserves_columns(spark):
+    out = lww_dedup_agg(_df(spark))
+    assert set(out.columns) == {"url", "warc_ts", "change_lsn", "op"}
+    assert {r.url: r.change_lsn for r in out.collect()} == {"u1": 2, "u2": 7, "u3": 6}
