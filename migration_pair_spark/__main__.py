@@ -1,0 +1,115 @@
+"""CLI entry-point dispatch — reference analog: O13, the task switch in
+/root/reference/Program.cs:51-60 (Extraction / Insertion / EndToEnd) mapped
+to Spark-first subcommands:
+
+    snapshot-export   table -> CSV        (reference Extraction)
+    snapshot-import   CSV -> table        (reference Insertion)
+    backfill          events dir -> table, one batch (reference EndToEnd)
+    cdc-run           events dir -> table, streaming tail (north rule)
+    compact           rewrite bucket files (maintenance)
+    package           build the --py-files zip for spark-submit
+
+Run as `python -m migration_pair_spark <cmd>` locally, or on a cluster as
+`spark-submit --py-files $(python -m migration_pair_spark package) run_cdc.py`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="migration_pair_spark")
+    p.add_argument("--config", help="JSON config file (EngineConfig keys)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    se = sub.add_parser("snapshot-export")
+    se.add_argument("--table-path", required=True)
+    se.add_argument("--out", required=True)
+    se.add_argument("--delimiter", default=None)
+
+    si = sub.add_parser("snapshot-import")
+    si.add_argument("--csv", required=True)
+    si.add_argument("--table-path", required=True)
+    si.add_argument("--delimiter", default=None)
+
+    bf = sub.add_parser("backfill")
+    bf.add_argument("--events", required=True)
+    bf.add_argument("--table-path", required=True)
+
+    cr = sub.add_parser("cdc-run")
+    cr.add_argument("--events", required=True)
+    cr.add_argument("--table-path", required=True)
+    cr.add_argument("--checkpoint", required=True)
+    cr.add_argument("--max-files-per-trigger", type=int, default=None)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--table-path", required=True)
+
+    sub.add_parser("package")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "package":
+        from migration_pair_spark.packaging import build_pyfiles_zip
+
+        print(build_pyfiles_zip())
+        return 0
+
+    from migration_pair_spark.config import EngineConfig
+    from migration_pair_spark.session import get_spark
+
+    cfg = EngineConfig.load(args.config, **{
+        k: v for k, v in vars(args).items()
+        if k in {"table_path", "delimiter", "max_files_per_trigger"} and v is not None
+    } | ({"csv_delimiter": args.delimiter} if getattr(args, "delimiter", None) else {}))
+    spark = get_spark("mps-cli", master=cfg.master)
+
+    if args.cmd == "snapshot-export":
+        from migration_pair_spark.lakehouse.table import LakeTable
+        from migration_pair_spark.sources.csv_snapshot import export_snapshot
+
+        table = LakeTable.load(spark, args.table_path)
+        cols = export_snapshot(table.read(), args.out, delimiter=cfg.csv_delimiter)
+        print(json.dumps({"exported_columns": cols, "out": args.out}))
+    elif args.cmd == "snapshot-import":
+        from migration_pair_spark.cdc.runner import CdcPipeline
+        from migration_pair_spark.sources.csv_snapshot import import_snapshot
+
+        pipe = CdcPipeline(table_path=args.table_path, n_buckets=cfg.n_buckets)
+        table = pipe.ensure_table(spark)
+        df = import_snapshot(
+            spark, args.csv, table.schema, delimiter=cfg.csv_delimiter,
+            empty_numeric_as_zero=cfg.empty_numeric_as_zero,
+        )
+        version = table.append_bucketed(df)
+        print(json.dumps({"snapshot": version, "rows": table.read().count()}))
+    elif args.cmd == "backfill":
+        from migration_pair_spark.cdc.runner import CHANGE_STREAM_SCHEMA, CdcPipeline
+
+        pipe = CdcPipeline(table_path=args.table_path, n_buckets=cfg.n_buckets)
+        events = spark.read.schema(CHANGE_STREAM_SCHEMA).parquet(args.events)
+        lineage = pipe.apply_batch(spark, events)
+        print(json.dumps(lineage))
+    elif args.cmd == "cdc-run":
+        from migration_pair_spark.cdc.runner import CdcPipeline
+
+        pipe = CdcPipeline(table_path=args.table_path, n_buckets=cfg.n_buckets)
+        lineages = pipe.run_stream(
+            spark, args.events, args.checkpoint,
+            max_files_per_trigger=cfg.max_files_per_trigger,
+        )
+        print(json.dumps({"batches": len(lineages), "lineage": lineages}))
+    elif args.cmd == "compact":
+        from migration_pair_spark.lakehouse.table import LakeTable
+
+        table = LakeTable.load(spark, args.table_path)
+        version = table.compact()
+        print(json.dumps({"snapshot": version}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -342,6 +342,34 @@ class LakeTable:
             full, list(range(self.n_buckets)), properties, lineage
         )
 
+    def compact(self, bucket_ids: list[int] | None = None) -> int:
+        """Maintenance: rewrite each chosen bucket's files into one file per
+        bucket (the copy-on-write MERGE path leaves up to one file per
+        (task x bucket) per snapshot; compaction bounds read amplification).
+        Data is unchanged — same rows, same schema version, new layout."""
+        buckets = bucket_ids if bucket_ids is not None else [
+            int(b) for b, files in self.manifest["buckets"].items() if files
+        ]
+        if not buckets:
+            return self.version
+        df = self.read_buckets(buckets).withColumn("_bucket", self.bucket_expr())
+        compacted = df.repartition(len(buckets), F.col("_bucket"))
+        return self.replace_buckets(
+            compacted, buckets, lineage={"compaction": True, "buckets": buckets}
+        )
+
+    # ------------------------------------------------------------ time travel
+
+    def snapshot(self, version: int) -> "LakeTable":
+        """Time travel: a read-only view of the table at an earlier snapshot
+        (every manifest is immutable, so this is just pinning)."""
+        path = os.path.join(self.path, "manifests", f"v{version:08d}.json")
+        with open(path) as f:
+            manifest = json.load(f)
+        t = LakeTable(self.spark, self.path)
+        t._manifest = manifest
+        return t
+
     # ------------------------------------------------------------- evolution
 
     def evolve_schema(self, ops: list[AddColumn | RenameColumn | WidenColumn]) -> int:

@@ -694,6 +694,42 @@ def embedding_topk_cosine(spark, sf_dir):
 
 
 @q(
+    "embedding_neardup_pairs",
+    """
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               unnest(range(len(embedding))) AS i
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+        FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    )
+    SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = vec_a
+              JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.35
+    """,
+    "embedding-cosine near-duplicate pairs (all-pairs above threshold)",
+)
+def embedding_neardup_pairs(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = similarity._dot(F.col("_va"), F.col("_vb")) / (
+        similarity._norm(F.col("_va")) * similarity._norm(F.col("_vb"))
+    )
+    return (
+        pairs.withColumn("_sim", sim)
+        .filter(F.col("_sim") >= 0.35)
+        .select("vec_a", "vec_b", F.round("_sim", 4).alias("cosine"))
+    )
+
+
+@q(
     "embedding_ann_lsh",
     None,  # approximate: validated against the brute-force baseline in pytest
     "LSH-bucketed approximate nearest neighbors (scale path)",

@@ -1,0 +1,81 @@
+"""CLI dispatch (reference O13), frozen config (O14), compaction and time
+travel on the lake table."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from migration_pair_spark import synth
+from migration_pair_spark.config import EngineConfig
+from migration_pair_spark.cdc.runner import CdcPipeline
+from migration_pair_spark.lakehouse.table import LakeTable
+
+
+def test_config_load_defaults_and_overrides(tmp_path):
+    cfg = EngineConfig.load(None, n_buckets=64)
+    assert cfg.n_buckets == 64
+    assert cfg.max_events_per_batch == 100_000  # reference InsertionBatch default
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"key_col": "url", "csv_delimiter": ";"}))
+    cfg2 = EngineConfig.load(str(p))
+    assert cfg2.csv_delimiter == ";"
+    with pytest.raises(ValueError, match="unknown config keys"):
+        EngineConfig.load(None, nope=1)
+    with pytest.raises(Exception):  # frozen
+        cfg.n_buckets = 1
+
+
+def _loaded_table(spark, tmp_path, n_events=400, n_urls=60):
+    pdf = synth.make_change_events(n_events, n_urls, seed=9)
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=4)
+    pipe.apply_batch(spark, spark.createDataFrame(pdf))
+    return LakeTable.load(spark, pipe.table_path), pdf
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
+    t, _ = _loaded_table(spark, tmp_path)
+    before = t.read().orderBy("url").collect()
+    files_before = sum(len(fs) for fs in t.manifest["buckets"].values())
+    v = t.compact()
+    assert v == t.version
+    files_after = sum(len(fs) for fs in t.manifest["buckets"].values())
+    assert files_after <= files_before
+    non_empty = sum(1 for fs in t.manifest["buckets"].values() if fs)
+    assert files_after == non_empty  # one file per non-empty bucket
+    assert t.read().orderBy("url").collect() == before
+
+
+def test_time_travel_snapshot(spark, tmp_path):
+    t, pdf = _loaded_table(spark, tmp_path)
+    v1 = t.version
+    n1 = t.read().count()
+    # second batch of fresh events on top
+    pdf2 = synth.make_change_events(200, 60, seed=10)
+    pdf2["change_lsn"] += pdf["change_lsn"].max()
+    pipe = CdcPipeline(table_path=t.path, n_buckets=4)
+    pipe.apply_batch(spark, spark.createDataFrame(pdf2))
+    t.refresh()
+    assert t.version > v1
+    old = t.snapshot(v1)
+    assert old.read().count() == n1  # immutable history
+
+
+def test_cli_backfill_and_export(spark, tmp_path, capsys):
+    from migration_pair_spark.__main__ import main
+
+    ev_dir = str(tmp_path / "events")
+    synth.write_change_stream(ev_dir, 300, 50, n_files=2, seed=4)
+    table_path = str(tmp_path / "pages")
+    assert main(["backfill", "--events", ev_dir, "--table-path", table_path]) == 0
+    lineage = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lineage["rows_upserted"] > 0
+    out_csv = str(tmp_path / "csv")
+    assert main(
+        ["snapshot-export", "--table-path", table_path, "--out", out_csv]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "url" in res["exported_columns"]
+    assert main(["compact", "--table-path", table_path]) == 0
