@@ -27,10 +27,13 @@ key, so no skew and no join shuffle beyond the single hash partition by key.
 
 from __future__ import annotations
 
+import logging
 import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger("migration_pair_spark.cdc")
 
 from migration_pair_spark.cdc.lww import lww_dedup_agg
 from migration_pair_spark.functions.extract import with_extracted_text
@@ -185,6 +188,15 @@ def apply_cdc_batch(
     lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
     # Append-only per-table audit log (manifest holds the same record).
     _append_lineage(table, lineage)
+    # Reference analog of the ExecutionTimeMeasured aspect's per-batch log
+    # (/root/reference/Aspects/ExecutionTimeMeasured.cs:22-28).
+    logger.info(
+        "batch %s applied: lsn [%s, %s] upserted=%s deleted=%s skipped=%s "
+        "snapshot=v%s wall=%.3fs",
+        batch_id, lineage["lsn_min"], lineage["lsn_max"],
+        lineage["rows_upserted"], lineage["rows_deleted"],
+        lineage["rows_skipped"], new_version, lineage["wall_ms"] / 1000,
+    )
     return lineage
 
 

@@ -176,6 +176,26 @@ def write_change_stream(
     return df
 
 
+def make_pages(n_urls: int, seed: int = 42) -> pd.DataFrame:
+    """The F1 base table: one current row per url (initial snapshot before
+    any change events; lsn semantics: loaded rows carry _lsn=0)."""
+    rng = _rng(seed)
+    urls = make_urls(n_urls)
+    revs = rng.integers(0, 1_000_000, size=n_urls)
+    ts_us = _BASE_TS_US - 86_400_000_000 + rng.integers(0, 3600, size=n_urls) * 1_000_000
+    langs = rng.choice(np.array(_LANGS), size=n_urls)
+    html = [make_html(i, int(revs[i]), _rng(int(revs[i]))) for i in range(n_urls)]
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": pd.to_datetime(ts_us, unit="us"),
+            "html": html,
+            "text": [None] * n_urls,  # filled by the engine's extraction
+            "lang": langs,
+        }
+    )
+
+
 def oracle_final_state(events: pd.DataFrame) -> pd.DataFrame:
     """Independent (pandas) oracle for the final table state — FIXTURES.md F2:
     per url the event with max (warc_ts, change_lsn); url absent iff that
