@@ -37,6 +37,35 @@ def _decode_stub(payload: bytes) -> dict:
     return {"modality": "binary"}
 
 
+def decode_image(payload: bytes) -> dict:
+    """Image decode (width/height/mode metadata + resize hook).
+
+    STUB: this container ships no image libraries. The Spark-side plumbing
+    (schema, Arrow batching, partitioning) is real and tested; the kernel
+    raises until PIL/opencv is installed in the deployment image.
+    """
+    if not _HAS_IMAGE_LIBS:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv, not present in this "
+            "environment — install an image library and replace this stub"
+        )
+    import io
+
+    import PIL.Image  # pragma: no cover
+
+    img = PIL.Image.open(io.BytesIO(payload))  # pragma: no cover
+    return {"modality": "image", "width": img.width, "height": img.height}  # pragma: no cover
+
+
+def frame_sample(payload: bytes, every_n: int = 30) -> list[bytes]:
+    """Video frame sampling hook — STUB (no av/ffmpeg in this container)."""
+    raise NotImplementedError(
+        "video frame sampling requires pyav/ffmpeg, not present in this "
+        "environment — the mapInPandas plumbing in extract_binary_metadata "
+        "is the integration point"
+    )
+
+
 def extract_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """(id, binary) -> (id, byte_len, payload_md5, modality) via mapInPandas.
 

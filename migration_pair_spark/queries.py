@@ -490,6 +490,48 @@ def sessionize_events(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 @q(
+    "stats_moments",
+    """
+    SELECT l_returnflag,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "statistical aggregates: stddev / correlation / covariance",
+)
+def stats_moments(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+@q(
+    "percentile_summary",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+    "exact percentiles (linear interpolation, both engines)",
+)
+def percentile_summary(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@q(
     "dedup_exact_docs",
     """
     SELECT md5(text) AS text_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies

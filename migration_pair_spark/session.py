@@ -24,6 +24,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    task_retries: int | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -31,13 +32,21 @@ def get_spark(
     cluster the master comes from spark-submit and this argument is left
     None. ``shuffle_partitions`` defaults to the core count locally; on a
     cluster AQE coalescing makes the initial number non-critical.
+    ``task_retries`` > 1 enables in-task retry in local mode
+    (``local[N, F]``) — the engine analog of the reference's write-timeout
+    retry policy (/root/reference/Policies/RetryPolicy.cs:18-23); on a
+    cluster ``spark.task.maxFailures`` governs instead.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
-        master = f"local[{cpus}]"
+        master = (
+            f"local[{cpus},{task_retries}]" if task_retries and task_retries > 1
+            else f"local[{cpus}]"
+        )
     if shuffle_partitions is None:
-        # local[N] or local[*]
+        # local[N], local[N,F] or local[*]
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        inner = inner.split(",")[0].strip()
         shuffle_partitions = cpus if inner in ("*", "") else int(inner)
 
     builder = (

@@ -87,3 +87,12 @@ def test_multimodal_metadata_matches_hashlib(spark):
     assert got[1].payload_md5 == hashlib.md5(b"hello world").hexdigest()
     assert got[2].byte_len == 3
     assert got[3].payload_md5 is None and got[3].byte_len == 0
+
+
+def test_multimodal_stubs_raise_clearly():
+    from migration_pair_spark.operators.multimodal import decode_image, frame_sample
+
+    with pytest.raises(NotImplementedError, match="image decode requires"):
+        decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError, match="frame sampling requires"):
+        frame_sample(b"\x00\x00\x00 ftypmp42")
