@@ -83,6 +83,9 @@ class CdcPipeline:
         default_factory=lambda: dict(PAGES_EPOCH_REGISTRY)
     )
     extract_text: bool = True
+    # 0 = unbounded; >0 splits oversized batches into LSN-ranged sub-commits
+    # (reference InsertionBatch analog; see apply_batch)
+    max_events_per_batch: int = 0
 
     def ensure_table(self, spark: SparkSession) -> LakeTable:
         if LakeTable.exists(self.table_path):
@@ -111,10 +114,63 @@ class CdcPipeline:
     def apply_batch(
         self, spark: SparkSession, events: DataFrame, batch_id: int = 0
     ) -> dict:
+        """Apply one change batch. Batches larger than
+        ``max_events_per_batch`` are split into LSN-ranged sub-batches, each
+        committed (data + watermark) atomically — the engine analog of the
+        reference's InsertionBatch flush bound
+        (/root/reference/Tasks/Insertion.cs:86-90, default 100k per
+        /root/reference/Models/SettingsModel.cs:10). A crash mid-split loses
+        at most one sub-batch, which the watermark gate re-applies cleanly."""
         table = self.ensure_table(spark)
+        events = self.normalize(events)
+        limit = self.max_events_per_batch
+        if limit and limit > 0:
+            bounds = events.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("change_lsn").alias("lo"),
+                F.max("change_lsn").alias("hi"),
+            ).collect()[0]
+            if bounds.n and bounds.n > limit:
+                # contiguous LSN ranges sized ~limit (LSNs may be sparse;
+                # ranges are an upper bound on rows per sub-batch only when
+                # dense — good enough as a memory bound for a WAL tail)
+                lineages = []
+                lo = int(bounds.lo)
+                span = max(int((bounds.hi - bounds.lo + 1) * limit / bounds.n), 1)
+                part = 0
+                while lo <= bounds.hi:
+                    hi = min(lo + span - 1, int(bounds.hi))
+                    chunk = events.filter(
+                        (F.col("change_lsn") >= lo) & (F.col("change_lsn") <= hi)
+                    )
+                    lineages.append(
+                        apply_cdc_batch(
+                            table,
+                            chunk,
+                            batch_id=batch_id * 10_000 + part,
+                            salt_buckets=self.salt_buckets,
+                            epoch_registry=self.epoch_registry,
+                            extract_text=self.extract_text,
+                        )
+                    )
+                    lo, part = hi + 1, part + 1
+                applied = [l for l in lineages if not l["skipped"]]
+                return {
+                    "batch_id": batch_id,
+                    "split_into": len(lineages),
+                    "skipped": not applied,
+                    "lsn_min": min((l["lsn_min"] for l in applied), default=None),
+                    "lsn_max": max((l["lsn_max"] for l in applied), default=None),
+                    "rows_in_batch": int(bounds.n),
+                    "rows_skipped": sum(l["rows_skipped"] for l in lineages),
+                    "rows_upserted": sum(l.get("rows_upserted", 0) for l in lineages),
+                    "rows_deleted": sum(l.get("rows_deleted", 0) for l in lineages),
+                    "wall_ms": sum(l["wall_ms"] for l in lineages),
+                    "sub_batches": lineages,
+                }
         return apply_cdc_batch(
             table,
-            self.normalize(events),
+            events,
             batch_id=batch_id,
             salt_buckets=self.salt_buckets,
             epoch_registry=self.epoch_registry,

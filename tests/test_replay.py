@@ -132,3 +132,22 @@ def test_watermark_committed_atomically_with_data(spark, stream_dir, tmp_path):
     assert int(t.properties[WATERMARK_PROP]) == N_EVENTS
     # every snapshot's manifest carries its own watermark (no side-channel)
     assert t.manifest["lineage"]["lsn_max"] == N_EVENTS
+
+
+def test_oversized_batch_splits_into_bounded_subcommits(spark, stream_dir, tmp_path):
+    d, full = stream_dir
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / "split"), n_buckets=8, max_events_per_batch=200
+    )
+    events = spark.read.parquet(d)
+    lineage = pipe.apply_batch(spark, events)
+    assert lineage["split_into"] >= N_EVENTS // 200
+    assert not lineage["skipped"]
+    assert lineage["lsn_max"] == N_EVENTS
+    # every sub-batch committed its own snapshot; final state still == oracle
+    assert _state(spark, pipe.table_path) == _oracle_state(full)
+    subs = [l for l in lineage["sub_batches"] if not l["skipped"]]
+    assert all(
+        l["lsn_max"] - l["lsn_min"] + 1 <= (N_EVENTS // (N_EVENTS // 200)) + 1
+        for l in subs
+    )
