@@ -88,6 +88,9 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
 
     stop_spark()
     spark = get_spark("bench-queries", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # warm codegen/JIT/python workers once so the first measured query isn't
+    # charged the session's one-time costs
+    REGISTRY[HEADLINE_QUERIES[0]].fn(spark, sf_dir).count()
     out = {}
     for name in HEADLINE_QUERIES:
         t0 = time.monotonic()

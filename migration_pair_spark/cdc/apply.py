@@ -166,21 +166,45 @@ def apply_cdc_batch(
     )
     # Per-batch counters from a column-pruned scan of the rows that actually
     # landed (this batch's rows are exactly those with _lsn > watermark) —
-    # cheaper than caching the whole winner set just to count it, and more
-    # faithful: rows that lost the cross-batch guard are not counted.
-    applied_stats = (
-        table.read_buckets(touched)
-        .filter(F.col("_lsn") > F.lit(wm))
-        .withColumn("_bucket", table.bucket_expr())
-        .groupBy("_bucket", "_deleted")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    # more faithful than counting the winner set (rows that lost the
+    # cross-batch guard are not counted). Only (_lsn, _deleted) are read;
+    # files map to buckets through the manifest, so no key rescan/rehash.
+    import os
+
+    file_to_bucket = {
+        os.path.basename(e["path"]): int(b)
+        for b, files in table.manifest["buckets"].items()
+        if int(b) in set(touched)
+        for e in files
+    }
     op_counts: dict[bool, int] = {}
     bucket_counts: dict[str, int] = {}
-    for r in applied_stats:
-        op_counts[r["_deleted"]] = op_counts.get(r["_deleted"], 0) + r["n"]
-        bucket_counts[str(r["_bucket"])] = bucket_counts.get(str(r["_bucket"]), 0) + r["n"]
+    if file_to_bucket:
+        from pyspark.sql import types as T
+
+        count_schema = T.StructType(
+            [
+                T.StructField("_lsn", T.LongType(), True),
+                T.StructField("_deleted", T.BooleanType(), True),
+            ]
+        )
+        applied_stats = (
+            table.spark.read.schema(count_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(*[os.path.join(table.path, e["path"])
+                       for b, files in table.manifest["buckets"].items()
+                       if int(b) in set(touched) for e in files])
+            .filter(F.col("_lsn") > F.lit(wm))
+            .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"),
+                     "_deleted")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in applied_stats:
+            b = file_to_bucket.get(r["_f"])
+            op_counts[r["_deleted"]] = op_counts.get(r["_deleted"], 0) + r["n"]
+            if b is not None:
+                bucket_counts[str(b)] = bucket_counts.get(str(b), 0) + r["n"]
     lineage["rows_upserted"] = int(op_counts.get(False, 0))
     lineage["rows_deleted"] = int(op_counts.get(True, 0))
     lineage["partition_counts"] = bucket_counts
