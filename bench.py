@@ -88,9 +88,20 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
 
     stop_spark()
     spark = get_spark("bench-queries", master=f"local[{cpus}]", shuffle_partitions=cpus)
-    # warm codegen/JIT/python workers once so the first measured query isn't
-    # charged the session's one-time costs
-    REGISTRY[HEADLINE_QUERIES[0]].fn(spark, sf_dir).count()
+    # Uniform warm-up: page-cache EVERY input table (so no single measured
+    # query gets a free cache fill from the warm-up) + one trivial plan and
+    # one UDF call to warm codegen/JIT/python workers.
+    import glob as _glob
+    import subprocess as _sp
+
+    for p in _glob.glob(os.path.join(sf_dir, "*.parquet")):
+        _sp.run(["cat", p], stdout=_sp.DEVNULL, check=False)
+    spark.range(1000).selectExpr("avg(xxhash64(id)) a").collect()
+    from migration_pair_spark.functions.extract import extract_text_udf
+
+    spark.createDataFrame([(b"<p>w</p>",)] * cpus, "html binary").repartition(
+        cpus
+    ).withColumn("t", extract_text_udf("html")).count()
     out = {}
     for name in HEADLINE_QUERIES:
         t0 = time.monotonic()

@@ -44,6 +44,7 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--table-path", required=True)
     cr.add_argument("--checkpoint", required=True)
     cr.add_argument("--max-files-per-trigger", type=int, default=None)
+    cr.add_argument("--write-mode", choices=["cow", "mor"], default=None)
 
     cp = sub.add_parser("compact")
     cp.add_argument("--table-path", required=True)
@@ -96,7 +97,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "cdc-run":
         from migration_pair_spark.cdc.runner import CdcPipeline
 
-        pipe = CdcPipeline(table_path=args.table_path, n_buckets=cfg.n_buckets)
+        pipe = CdcPipeline(
+            table_path=args.table_path,
+            n_buckets=cfg.n_buckets,
+            write_mode=getattr(args, "write_mode", None) or cfg.write_mode,
+        )
         lineages = pipe.run_stream(
             spark, args.events, args.checkpoint,
             max_files_per_trigger=cfg.max_files_per_trigger,

@@ -52,10 +52,23 @@ def apply_cdc_batch(
     salt_buckets: int = 16,
     epoch_registry: "dict[int, list] | None" = None,
     extract_text: bool = True,
+    write_mode: str = "cow",
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns the
     lineage record (FIXTURES.md F4). Idempotent: re-applying any prefix,
-    suffix or the whole stream converges to the same final snapshot."""
+    suffix or the whole stream converges to the same final snapshot.
+
+    ``write_mode``:
+      - ``"cow"`` (copy-on-write): touched buckets are read, merged and
+        rewritten — reads stay cheap (1 row/key on disk), writes pay
+        O(touched bucket bytes) per batch. Right when batches touch few
+        buckets or reads dominate.
+      - ``"mor"`` (merge-on-read): winners append as delta files — writes
+        pay O(batch) regardless of table size; reads LWW-resolve per key
+        until :meth:`LakeTable.compact` folds the deltas. Right for
+        sustained high-rate streams whose keys spread across all buckets
+        (measured: COW sustained throughput degrades with table size as
+        every micro-batch rewrites nearly the whole table)."""
     t0 = time.monotonic()
     table.refresh()  # another writer (or a previous incarnation) may have committed
 
@@ -142,44 +155,61 @@ def apply_cdc_batch(
         (F.col("op") == "delete").alias("_deleted"),
     ).withColumn("_bucket", table.bucket_expr())
 
-    # -- 6: bucket-pruned merge (union + cross-batch LWW re-rank). The heavy
-    # pipeline (dedup + extraction) flows exactly ONCE, straight into the
-    # write — no persist/columnar-cache materialization in between.
-    current = table.read_buckets(touched).withColumn("_bucket", table.bucket_expr())
-    merged = current.unionByName(winners_phys)
-    # Cross-batch LWW guard, also as an aggregate: at most 2 rows per key
-    # meet here (stored row + batch winner), ordered by (warc_ts, _lsn).
-    final = lww_dedup_agg(merged, key_cols=(key,), order_cols=("warc_ts", "_lsn"))
-
-    # -- 7: atomic commit: data + watermark + lineage in one snapshot --------
+    # -- 6+7: merge + atomic commit (data + watermark + lineage in one
+    # snapshot) -------------------------------------------------------------
     lineage = {
         **lineage_base,
         "skipped": False,
+        "write_mode": write_mode,
         "rows_skipped": int(stats.n_stale or 0),  # already-applied (<= watermark)
         "wall_ms": None,  # filled after commit
     }
-    new_version = table.replace_buckets(
-        final,
-        touched,
-        properties={WATERMARK_PROP: str(int(stats.lsn_max)), **epoch_props},
-        lineage=lineage,
-    )
-    # Per-batch counters from a column-pruned scan of the rows that actually
-    # landed (this batch's rows are exactly those with _lsn > watermark) —
-    # more faithful than counting the winner set (rows that lost the
-    # cross-batch guard are not counted). Only (_lsn, _deleted) are read;
-    # files map to buckets through the manifest, so no key rescan/rehash.
     import os
 
-    file_to_bucket = {
-        os.path.basename(e["path"]): int(b)
-        for b, files in table.manifest["buckets"].items()
-        if int(b) in set(touched)
-        for e in files
-    }
+    if write_mode == "mor":
+        # merge-on-read: append the winners as delta files — write cost is
+        # O(batch); the cross-batch LWW guard moves to read/compaction time
+        # (same max_by over the table's lww_order).
+        new_version, added = table.append_delta_buckets(
+            winners_phys,
+            touched,
+            properties={WATERMARK_PROP: str(int(stats.lsn_max)), **epoch_props},
+            lineage=lineage,
+        )
+        new_files = [os.path.join(table.path, rel) for rel in added]
+    else:
+        # copy-on-write: union the touched buckets' current rows with the
+        # winners and re-resolve. The heavy pipeline (dedup + extraction)
+        # flows exactly ONCE, straight into the write. At most 2 resolved
+        # rows per key meet in the re-rank (stored row + batch winner).
+        current = table.read_buckets(touched).withColumn(
+            "_bucket", table.bucket_expr()
+        )
+        merged = current.unionByName(winners_phys)
+        final = lww_dedup_agg(merged, key_cols=(key,), order_cols=("warc_ts", "_lsn"))
+        new_version = table.replace_buckets(
+            final,
+            touched,
+            properties={WATERMARK_PROP: str(int(stats.lsn_max)), **epoch_props},
+            lineage=lineage,
+        )
+        touched_set = set(touched)
+        new_files = [
+            os.path.join(table.path, e["path"])
+            for b, files in table.manifest["buckets"].items()
+            if int(b) in touched_set
+            for e in files
+        ]
+
+    # Per-batch counters from a column-pruned scan of the committed rows with
+    # _lsn > watermark (COW: rows that actually landed — losers of the
+    # cross-batch guard are not counted; MOR: the appended winners). Only
+    # (_lsn, _deleted) are read; the bucket comes from each file's
+    # "_bucket=N" parent directory (part-file BASENAMES repeat across the
+    # bucket dirs one task writes, so the dir component is the only safe key).
     op_counts: dict[bool, int] = {}
     bucket_counts: dict[str, int] = {}
-    if file_to_bucket:
+    if new_files:
         from pyspark.sql import types as T
 
         count_schema = T.StructType(
@@ -188,23 +218,27 @@ def apply_cdc_batch(
                 T.StructField("_deleted", T.BooleanType(), True),
             ]
         )
+        bucket_dir = F.element_at(F.split(F.input_file_name(), "/"), -2)
         applied_stats = (
             table.spark.read.schema(count_schema)
             .option("recursiveFileLookup", "true")
-            .parquet(*[os.path.join(table.path, e["path"])
-                       for b, files in table.manifest["buckets"].items()
-                       if int(b) in set(touched) for e in files])
+            .parquet(*new_files)
             .filter(F.col("_lsn") > F.lit(wm))
-            .groupBy(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_f"),
-                     "_deleted")
+            .groupBy(
+                F.regexp_extract(bucket_dir, r"_bucket=(\d+)", 1).alias("_b"),
+                "_deleted",
+            )
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
         for r in applied_stats:
-            b = file_to_bucket.get(r["_f"])
+            if r["_b"] == "":
+                raise RuntimeError(
+                    f"lineage counting: file outside a _bucket= dir in commit "
+                    f"v{new_version}"
+                )
             op_counts[r["_deleted"]] = op_counts.get(r["_deleted"], 0) + r["n"]
-            if b is not None:
-                bucket_counts[str(b)] = bucket_counts.get(str(b), 0) + r["n"]
+            bucket_counts[r["_b"]] = bucket_counts.get(r["_b"], 0) + r["n"]
     lineage["rows_upserted"] = int(op_counts.get(False, 0))
     lineage["rows_deleted"] = int(op_counts.get(True, 0))
     lineage["partition_counts"] = bucket_counts

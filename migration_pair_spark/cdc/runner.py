@@ -86,6 +86,10 @@ class CdcPipeline:
     # 0 = unbounded; >0 splits oversized batches into LSN-ranged sub-commits
     # (reference InsertionBatch analog; see apply_batch)
     max_events_per_batch: int = 0
+    # "cow" rewrites touched buckets per batch (cheap reads); "mor" appends
+    # delta files (O(batch) writes; reads resolve until compaction) — see
+    # apply_cdc_batch
+    write_mode: str = "cow"
 
     def ensure_table(self, spark: SparkSession) -> LakeTable:
         if LakeTable.exists(self.table_path):
@@ -151,6 +155,7 @@ class CdcPipeline:
                             salt_buckets=self.salt_buckets,
                             epoch_registry=self.epoch_registry,
                             extract_text=self.extract_text,
+                            write_mode=self.write_mode,
                         )
                     )
                     lo, part = hi + 1, part + 1
@@ -175,6 +180,7 @@ class CdcPipeline:
             salt_buckets=self.salt_buckets,
             epoch_registry=self.epoch_registry,
             extract_text=self.extract_text,
+            write_mode=self.write_mode,
         )
 
     # ------------------------------------------------------------ streaming

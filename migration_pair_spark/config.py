@@ -33,6 +33,9 @@ class EngineConfig:
     master: str | None = None
     shuffle_partitions: int | None = None
     extract_text: bool = True
+    # "cow" (rewrite touched buckets) or "mor" (append deltas, resolve on
+    # read, fold via compact) — see cdc.apply.apply_cdc_batch
+    write_mode: str = "cow"
     # csv snapshot round-trip (reference Extraction/Insertion file settings,
     # /root/reference/appsettings.json; delimiter default "," matches
     # /root/reference/Models/SettingsModel.cs:41)

@@ -26,11 +26,15 @@ from pyspark.sql import types as T
 _SCRIPT_RE = r"(?is)<script\b.*?</script\s*>"
 _STYLE_RE = r"(?is)<style\b.*?</style\s*>"
 _COMMENT_RE = r"(?s)<!--.*?-->"
-# Fused removal pass: one RE2 alternation == the three passes above run in
-# sequence (differentially verified identical on corpus + goldens +
-# adversarial nesting cases; ~25% faster). Same for the fused whitespace
-# pass below: " ?\n ?" then "\n{2,}" == " *\n[ \n]*".
-_REMOVE_RE = r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->"
+# NOTE: the three removal passes above must stay SEQUENTIAL. A fused
+# alternation is NOT equivalent: RE2 picks the leftmost match start, so a
+# comment opener preceding a script whose body contains "-->" (IE
+# conditional comments: "<!--[if IE]><script>if(a-->0){}</script>
+# <![endif]-->") lets the comment alternative consume into the script and
+# leak raw JS into the text. Sequential passes remove the script first.
+# Golden-pinned in tests. The whitespace fusion below IS equivalent
+# (" ?\n ?" then "\n{2,}" == " *\n[ \n]*", verified exhaustively over all
+# short strings of the relevant alphabet).
 _WS_NL_RE = r" *\n[ \n]*"
 # Tags whose *closing* (or self) implies a line break in the extracted text.
 _BLOCK_BREAK_RE = (
@@ -69,7 +73,9 @@ def extract_text_series(html: pd.Series) -> pd.Series:
         else (None if b is None or (isinstance(b, float)) else str(b))
     )
     arr = pa.array(decoded, type=pa.string())
-    arr = pc.replace_substring_regex(arr, pattern=_REMOVE_RE, replacement="")
+    arr = pc.replace_substring_regex(arr, pattern=_SCRIPT_RE, replacement="")
+    arr = pc.replace_substring_regex(arr, pattern=_STYLE_RE, replacement="")
+    arr = pc.replace_substring_regex(arr, pattern=_COMMENT_RE, replacement="")
     arr = pc.replace_substring_regex(arr, pattern=_BLOCK_BREAK_RE, replacement="\n")
     arr = pc.replace_substring_regex(arr, pattern=_ANY_TAG_RE, replacement=" ")
     for ent, repl in _ENTITIES:
@@ -113,7 +119,9 @@ def _extract_arrow_array(html: "object") -> "object":
             ],
             type=pa.string(),
         )
-    arr = pc.replace_substring_regex(arr, pattern=_REMOVE_RE, replacement="")
+    arr = pc.replace_substring_regex(arr, pattern=_SCRIPT_RE, replacement="")
+    arr = pc.replace_substring_regex(arr, pattern=_STYLE_RE, replacement="")
+    arr = pc.replace_substring_regex(arr, pattern=_COMMENT_RE, replacement="")
     arr = pc.replace_substring_regex(arr, pattern=_BLOCK_BREAK_RE, replacement="\n")
     arr = pc.replace_substring_regex(arr, pattern=_ANY_TAG_RE, replacement=" ")
     for ent, repl in _ENTITIES:

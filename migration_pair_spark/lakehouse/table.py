@@ -91,6 +91,7 @@ class LakeTable:
         key_col: str,
         n_buckets: int = 16,
         properties: dict[str, str] | None = None,
+        lww_order: tuple[str, ...] = ("warc_ts", "_lsn"),
     ) -> "LakeTable":
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -107,6 +108,10 @@ class LakeTable:
             "buckets": {},  # bucket id (str) -> [{"path":..., "schema_version": v}]
             "properties": dict(properties or {}),
             "lineage": None,
+            # merge-on-read state: True when any bucket holds delta files
+            # whose rows must be LWW-resolved at read time by lww_order
+            "mor": False,
+            "lww_order": list(lww_order),
         }
         t._write_manifest(manifest)
         t._manifest = manifest
@@ -246,21 +251,42 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
+    def _lww_resolve(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read resolution: one surviving row per key, the max by
+        the table's lww_order (same max_by aggregate as the CDC hot path —
+        duplicated here rather than imported to keep the lakehouse layer
+        free of cdc dependencies)."""
+        key = self.key_col
+        order = self.manifest.get("lww_order", ["warc_ts", "_lsn"])
+        payload = [c for c in df.columns if c != key]
+        out = df.groupBy(key).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(*[F.col(c) for c in order]),
+            ).alias("_w")
+        )
+        return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
     def read(self, include_tombstones: bool = False) -> DataFrame:
-        """Current snapshot as a DataFrame (user schema; tombstones filtered)."""
+        """Current snapshot as a DataFrame (user schema; tombstones filtered;
+        delta files LWW-resolved when the table is in merge-on-read state)."""
         entries = [e for files in self.manifest["buckets"].values() for e in files]
         df = self._read_files(entries)
         if df is None:
             df = self._empty_df()
+        if self.manifest.get("mor"):
+            df = self._lww_resolve(df)
         if not include_tombstones:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
                 *SYSTEM_COLS
             )
         return df
 
-    def read_buckets(self, bucket_ids: list[int]) -> DataFrame:
+    def read_buckets(self, bucket_ids: list[int], resolve: bool = False) -> DataFrame:
         """Scan ONLY the named buckets (with system columns + tombstones) —
-        the bucket-pruned side of the MERGE."""
+        the bucket-pruned side of the MERGE. ``resolve=True`` applies
+        merge-on-read LWW resolution (raw duplicates otherwise; the COW merge
+        resolves in its own aggregate anyway)."""
         entries = [
             e
             for b, files in self.manifest["buckets"].items()
@@ -268,7 +294,10 @@ class LakeTable:
             for e in files
         ]
         df = self._read_files(entries)
-        return df if df is not None else self._empty_df()
+        df = df if df is not None else self._empty_df()
+        if resolve and self.manifest.get("mor"):
+            df = self._lww_resolve(df)
+        return df
 
     def bucket_expr(self, col: str | None = None) -> F.Column:
         """The bucket id of a key value: pmod(xxhash64(key), n_buckets)."""
@@ -324,6 +353,41 @@ class LakeTable:
         self._manifest = m
         return m["version"]
 
+    def append_delta_buckets(
+        self,
+        df_with_bucket: DataFrame,
+        touched_buckets: list[int],
+        properties: dict[str, str] | None = None,
+        lineage: dict | None = None,
+    ) -> tuple[int, list[str]]:
+        """Merge-on-read commit: APPEND the rows as delta files to the
+        touched buckets (no read, no rewrite — write cost is O(batch), not
+        O(bucket)). Readers LWW-resolve per key until :meth:`compact` folds
+        the deltas. Returns (new version, relpaths of the added files)."""
+        m = self._next_manifest()
+        txid = f"tx-{m['version']:08d}-{uuid.uuid4().hex[:8]}"
+        tx_dir = os.path.join(self.path, "data", txid)
+        (
+            df_with_bucket.write.partitionBy("_bucket")
+            .parquet(tx_dir, mode="errorifexists")
+        )
+        added: list[str] = []
+        for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
+            b = int(os.path.basename(bdir).split("=", 1)[1])
+            for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+                rel = os.path.relpath(fp, self.path)
+                added.append(rel)
+                m["buckets"].setdefault(str(b), []).append(
+                    {"path": rel, "schema_version": m["schema_version"]}
+                )
+        m["mor"] = True
+        if properties:
+            m["properties"].update(properties)
+        m["lineage"] = lineage
+        self._write_manifest(m)
+        self._manifest = m
+        return m["version"], added
+
     def append_bucketed(
         self,
         df: DataFrame,
@@ -343,20 +407,31 @@ class LakeTable:
         )
 
     def compact(self, bucket_ids: list[int] | None = None) -> int:
-        """Maintenance: rewrite each chosen bucket's files into one file per
-        bucket (the copy-on-write MERGE path leaves up to one file per
-        (task x bucket) per snapshot; compaction bounds read amplification).
-        Data is unchanged — same rows, same schema version, new layout."""
+        """Maintenance: fold each chosen bucket into one file per bucket —
+        LWW-resolving merge-on-read deltas (one surviving row per key) and
+        bounding the read amplification both write paths accumulate. A full
+        compaction clears the table's merge-on-read state."""
         buckets = bucket_ids if bucket_ids is not None else [
             int(b) for b, files in self.manifest["buckets"].items() if files
         ]
         if not buckets:
             return self.version
-        df = self.read_buckets(buckets).withColumn("_bucket", self.bucket_expr())
+        df = self.read_buckets(buckets, resolve=True).withColumn(
+            "_bucket", self.bucket_expr()
+        )
         compacted = df.repartition(len(buckets), F.col("_bucket"))
-        return self.replace_buckets(
+        all_buckets = {int(b) for b, fs in self.manifest["buckets"].items() if fs}
+        version = self.replace_buckets(
             compacted, buckets, lineage={"compaction": True, "buckets": buckets}
         )
+        if self.manifest.get("mor") and all_buckets <= set(buckets):
+            m = self._next_manifest()
+            m["mor"] = False
+            m["lineage"] = {"compaction_mor_cleared": True}
+            self._write_manifest(m)
+            self._manifest = m
+            version = m["version"]
+        return version
 
     # ------------------------------------------------------------ time travel
 

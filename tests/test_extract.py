@@ -33,6 +33,10 @@ GOLDEN = [
     (b"&lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;x &amp;amp;", '<tag> "q" \'s\' x &amp;'),
     ("café 中文".encode("utf-8"), "café 中文"),
     (b"", ""),
+    # IE conditional comment wrapping a script whose body contains "-->":
+    # the SEQUENTIAL removal passes strip the script first, then the comment.
+    # (A fused alternation leaks "0){}" here — kept sequential on purpose.)
+    (b"x<!--[if IE]><script>if(a-->0){}</script><![endif]-->y", "xy"),
 ]
 
 # sha256 of the full golden corpus output, '\x00'-joined — any behavior change
