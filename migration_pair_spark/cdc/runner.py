@@ -90,6 +90,10 @@ class CdcPipeline:
     # delta files (O(batch) writes; reads resolve until compaction) — see
     # apply_cdc_batch
     write_mode: str = "cow"
+    # MOR maintenance policy: when any bucket accumulates more than this many
+    # files, compact the offending buckets right after the commit (0 = never;
+    # bounds read amplification of a long-running MOR stream)
+    auto_compact_files_per_bucket: int = 0
 
     def ensure_table(self, spark: SparkSession) -> LakeTable:
         if LakeTable.exists(self.table_path):
@@ -173,7 +177,7 @@ class CdcPipeline:
                     "wall_ms": sum(l["wall_ms"] for l in lineages),
                     "sub_batches": lineages,
                 }
-        return apply_cdc_batch(
+        lineage = apply_cdc_batch(
             table,
             events,
             batch_id=batch_id,
@@ -182,23 +186,41 @@ class CdcPipeline:
             extract_text=self.extract_text,
             write_mode=self.write_mode,
         )
+        self._maybe_auto_compact(table, lineage)
+        return lineage
+
+    def _maybe_auto_compact(self, table: LakeTable, lineage: dict) -> None:
+        """MOR maintenance: fold buckets whose delta-file count crossed the
+        policy threshold (bounds read amplification of long streams)."""
+        limit = self.auto_compact_files_per_bucket
+        if not limit or lineage.get("skipped"):
+            return
+        table.refresh()
+        if not table.manifest.get("mor"):
+            return
+        over = [
+            int(b)
+            for b, files in table.manifest["buckets"].items()
+            if len(files) > limit
+        ]
+        if over:
+            version = table.compact(over)
+            lineage["auto_compacted_buckets"] = over
+            lineage["auto_compact_snapshot"] = version
 
     # ------------------------------------------------------------ streaming
 
-    def run_stream(
+    def _start(
         self,
         spark: SparkSession,
         events_dir: str,
         checkpoint_dir: str,
-        max_files_per_trigger: int = 1,
-        on_batch=None,
-    ) -> list[dict]:
-        """Tail ``events_dir`` as a stream; returns the lineage records of the
-        batches applied by THIS invocation. ``on_batch`` (if given) is called
-        with (batch_id, lineage) after each micro-batch — tests use it to
-        inject a mid-stream kill."""
+        max_files_per_trigger: int,
+        on_batch,
+        trigger: dict,
+        lineages: list[dict],
+    ):
         self.ensure_table(spark)
-        lineages: list[dict] = []
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             lineage = self.apply_batch(spark, batch_df, batch_id=batch_id)
@@ -211,11 +233,29 @@ class CdcPipeline:
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(events_dir)
         )
-        query = (
+        return (
             stream.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
+            .trigger(**trigger)
             .start()
+        )
+
+    def run_stream(
+        self,
+        spark: SparkSession,
+        events_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        on_batch=None,
+    ) -> list[dict]:
+        """Drain ``events_dir`` (availableNow trigger) and return the lineage
+        records of the batches applied by THIS invocation. ``on_batch`` (if
+        given) is called with (batch_id, lineage) after each micro-batch —
+        tests use it to inject a mid-stream kill."""
+        lineages: list[dict] = []
+        query = self._start(
+            spark, events_dir, checkpoint_dir, max_files_per_trigger,
+            on_batch, {"availableNow": True}, lineages,
         )
         try:
             query.awaitTermination()
@@ -223,3 +263,23 @@ class CdcPipeline:
             if query.isActive:  # pragma: no cover
                 query.stop()
         return lineages
+
+    def follow_stream(
+        self,
+        spark: SparkSession,
+        events_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+        processing_time: str = "10 seconds",
+        on_batch=None,
+    ):
+        """Continuous tail (the production shape): keeps running, applying
+        new change files as they land. Returns ``(query, lineages)`` — the
+        caller owns the StreamingQuery (``query.stop()``); ``lineages`` grows
+        live as batches commit."""
+        lineages: list[dict] = []
+        query = self._start(
+            spark, events_dir, checkpoint_dir, max_files_per_trigger,
+            on_batch, {"processingTime": processing_time}, lineages,
+        )
+        return query, lineages
