@@ -9,20 +9,22 @@ Per micro-batch inside ``foreachBatch``:
 3. filter to events > watermark (handles *partial* overlap when restart
    re-batches differently), normalize mixed schema epochs, evolve the table
    schema if the batch carries a newer epoch,
-4. salted two-phase LWW dedup per key (cdc/lww.py),
+4. LWW dedup per key as a max_by AGGREGATE (cdc/lww.py — map-side combine,
+   skew-immune without salting),
 5. vectorized text extraction on the winners only (never on losers — the
-   UDF runs on at most one row per key per batch),
-6. bucket-pruned MERGE: union the winners with the CURRENT content of only
-   the touched buckets, re-rank per key over (warc_ts, _lsn) — the
-   cross-batch LWW guard — and rewrite those buckets. Deletes become
-   tombstone rows (physical rows with _deleted=true) so a late event older
-   than the delete still loses after the delete was applied,
+   Arrow kernel runs on at most one row per key per batch),
+6. MERGE, by write mode: copy-on-write unions the winners with the CURRENT
+   content of only the touched buckets, re-resolves per key over
+   (warc_ts, _lsn) — the cross-batch LWW guard — and rewrites those buckets;
+   merge-on-read appends the winners as delta files and defers the guard to
+   read/compaction time. Deletes become tombstone rows (physical rows with
+   _deleted=true) so a late event older than the delete still loses,
 7. commit data + ``engine.max_lsn`` watermark + lineage in ONE atomic
    snapshot — this is what upgrades at-least-once replay to exactly-once.
 
-The merge itself is a union + window rank, NOT a join: the target side has
-exactly one physical row per key and the batch side at most one winner per
-key, so no skew and no join shuffle beyond the single hash partition by key.
+The merge is aggregation, NOT a join: the target side has exactly one
+resolved row per key and the batch side at most one winner per key, so no
+skew and no join shuffle beyond the single hash partition by key.
 """
 
 from __future__ import annotations
@@ -42,14 +44,14 @@ from migration_pair_spark.lakehouse.table import LakeTable
 WATERMARK_PROP = "engine.max_lsn"
 EPOCH_PROP = "engine.schema_epoch"
 
-_RN = "_merge_rn"
-
 
 def apply_cdc_batch(
     table: LakeTable,
     batch: DataFrame,
     batch_id: int = 0,
-    salt_buckets: int = 16,
+    salt_buckets: int = 16,  # used by the window-form LWW alternative only;
+    # the default max_by aggregate needs no salt (map-side combine pre-folds
+    # hot keys — see lww.lww_dedup_agg)
     epoch_registry: "dict[int, list] | None" = None,
     extract_text: bool = True,
     write_mode: str = "cow",

@@ -353,6 +353,22 @@ def rollup_order_status(spark, sf_dir):
 
 
 @q(
+    "cube_order_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "grouping-sets cube (all 4 grouping combinations)",
+)
+def cube_order_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
     "intersect_building_buyers",
     """
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
