@@ -90,3 +90,30 @@ def test_agg_form_preserves_columns(spark):
     out = lww_dedup_agg(_df(spark))
     assert set(out.columns) == {"url", "warc_ts", "change_lsn", "op"}
     assert {r.url: r.change_lsn for r in out.collect()} == {"u1": 2, "u2": 7, "u3": 6}
+
+
+def test_pathological_hot_key(spark, tmp_path):
+    # 90% of a stream hitting ONE url: the max_by aggregate pre-folds per map
+    # partition, so correctness holds and no single reducer sees the full
+    # hot-key row set. (cdc.apply uses this form; see lww_dedup_agg.)
+    import numpy as np
+    import pandas as pd
+
+    n = 20_000
+    rng = np.random.default_rng(3)
+    hot = rng.random(n) < 0.9
+    pdf = pd.DataFrame(
+        {
+            "url": np.where(hot, "https://hot.example/", [f"https://u/{i}" for i in range(n)]),
+            "warc_ts": pd.to_datetime(1_704_067_200_000_000 + rng.integers(0, 1000, n) * 1_000_000, unit="us"),
+            "change_lsn": np.arange(1, n + 1, dtype=np.int64),
+            "op": np.where(rng.random(n) < 0.1, "delete", "update"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r.url: r.change_lsn for r in lww_dedup_agg(df).collect()}
+    # model winner for the hot key
+    hot_rows = pdf[pdf.url == "https://hot.example/"]
+    want = hot_rows.sort_values(["warc_ts", "change_lsn"]).iloc[-1]
+    assert out["https://hot.example/"] == want.change_lsn
+    assert len(out) == pdf["url"].nunique()
