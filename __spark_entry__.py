@@ -19,21 +19,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from migration_pair_spark.queries import REGISTRY  # noqa: E402
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: CDC final-state materialization (LWW winner per key with
-    tombstone drop) on /root/testdata/sf0.001."""
+def _prepare(spark: SparkSession) -> None:
+    """Defensive session prep for a driver-owned SparkSession: executors
+    must be able to import the engine (pandas/Arrow UDFs unpickle it there),
+    and timestamp semantics must match the DuckDB oracle's UTC-naive view."""
     from migration_pair_spark.packaging import ship_package
 
     ship_package(spark)
+    # runtime-modifiable conf; pins timestamp semantics to the oracle's view
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: CDC final-state materialization (LWW winner per key with
+    tombstone drop) on /root/testdata/sf0.001."""
+    _prepare(spark)
     return REGISTRY["cdc_final_state"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(name):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from migration_pair_spark.packaging import ship_package
-
-            ship_package(spark)  # pandas UDFs need the package on executors
+            _prepare(spark)
             return REGISTRY[name].fn(spark, sf_dir)
 
         return run

@@ -92,7 +92,7 @@ def test_agg_form_preserves_columns(spark):
     assert {r.url: r.change_lsn for r in out.collect()} == {"u1": 2, "u2": 7, "u3": 6}
 
 
-def test_pathological_hot_key(spark, tmp_path):
+def test_pathological_hot_key(spark):
     # 90% of a stream hitting ONE url: the max_by aggregate pre-folds per map
     # partition, so correctness holds and no single reducer sees the full
     # hot-key row set. (cdc.apply uses this form; see lww_dedup_agg.)

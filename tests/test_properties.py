@@ -35,10 +35,11 @@ def _model_lww(rows):
     return {u: (v[1], v[2]) for u, v in best.items()}
 
 
-@pytest.mark.usefixtures("spark")
 @settings(
     max_examples=12,
     deadline=None,
+    # `spark` is session-scoped; hypothesis flags any function-scoped fixture
+    # use conservatively, so the suppression stays documented here
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(events=events_strategy)
@@ -54,10 +55,7 @@ def test_lww_agg_matches_model(spark, events):
         r.url: (r.change_lsn, r.op)
         for r in lww_dedup_agg(df).collect()
     }
-    model = _model_lww(
-        [(r[0], r[1], r[2], r[3]) for r in rows]
-    )
-    assert got == model
+    assert got == _model_lww(rows)
 
 
 # -- extraction invariants ----------------------------------------------------
