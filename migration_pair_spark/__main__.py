@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser("compact")
     cp.add_argument("--table-path", required=True)
 
+    de = sub.add_parser("describe")
+    de.add_argument("--table-path", required=True)
+
     sub.add_parser("package")
 
     args = p.parse_args(argv)
@@ -113,6 +116,23 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable.load(spark, args.table_path)
         version = table.compact()
         print(json.dumps({"snapshot": version}))
+    elif args.cmd == "describe":
+        from migration_pair_spark.lakehouse.table import LakeTable
+
+        table = LakeTable.load(spark, args.table_path)
+        m = table.manifest
+        print(json.dumps({
+            "version": m["version"],
+            "schema": table.schema.simpleString(),
+            "schema_version": m["schema_version"],
+            "key_col": m["key_col"],
+            "n_buckets": m["n_buckets"],
+            "mor": m.get("mor", False),
+            "properties": m["properties"],
+            "snapshots": table.snapshot_versions(),
+            "files": sum(len(fs) for fs in m["buckets"].values()),
+            "last_lineage": m["lineage"],
+        }))
     return 0
 
 

@@ -433,6 +433,25 @@ class LakeTable:
             version = m["version"]
         return version
 
+    def lookup(self, key_value) -> DataFrame:
+        """Point read: the current row(s) for one key, touching ONLY the
+        bucket the key hashes into — at 100 TB this reads a few files, not
+        the table. Returns 0 or 1 rows (post LWW-resolution, tombstones
+        filtered)."""
+        bucket = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(self.n_buckets)).alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        df = self.read_buckets([int(bucket)], resolve=True)
+        return (
+            df.filter(F.col(self.key_col) == key_value)
+            .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .drop(*SYSTEM_COLS)
+        )
+
     # ------------------------------------------------------------ time travel
 
     def snapshot(self, version: int) -> "LakeTable":

@@ -79,3 +79,28 @@ def test_cli_backfill_and_export(spark, tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "url" in res["exported_columns"]
     assert main(["compact", "--table-path", table_path]) == 0
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    t, pdf = _loaded_table(spark, tmp_path)
+    oracle = synth.oracle_final_state(pdf)
+    url = oracle["url"].iloc[0]
+    got = t.lookup(url).collect()
+    assert len(got) == 1 and got[0].url == url
+    # a deleted url returns nothing
+    deleted = set(pdf["url"]) - set(oracle["url"])
+    if deleted:
+        assert t.lookup(next(iter(deleted))).count() == 0
+    # missing key returns empty, not error
+    assert t.lookup("https://nope.example/").count() == 0
+
+
+def test_cli_describe(spark, tmp_path, capsys):
+    from migration_pair_spark.__main__ import main
+
+    t, _ = _loaded_table(spark, tmp_path)
+    assert main(["describe", "--table-path", t.path]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["key_col"] == "url" and out["n_buckets"] == 4
+    assert out["version"] >= 2 and out["files"] > 0
+    assert "engine.max_lsn" in out["properties"]
