@@ -2,13 +2,25 @@
 
 Per micro-batch inside ``foreachBatch``:
 
-1. read the committed LSN watermark from the target's snapshot properties,
-2. if the whole batch is <= watermark -> already applied (restart replay):
-   skip and log lineage ``skipped=true`` — the idempotence the reference got
-   for free from Cassandra LWW (/root/reference/Tasks/MigrationTask.cs:101),
-3. filter to events > watermark (handles *partial* overlap when restart
-   re-batches differently), normalize mixed schema epochs, evolve the table
+1. read the committed applied-LSN interval set from the target's snapshot
+   properties (``engine.applied_lsn_ranges``; ``engine.max_lsn`` remains the
+   max hi for observability and backward compat),
+2. if every event's LSN is inside an applied interval -> already applied
+   (restart replay): skip and log lineage ``skipped=true`` — the idempotence
+   the reference got for free from Cassandra LWW
+   (/root/reference/Tasks/MigrationTask.cs:101),
+3. filter to events OUTSIDE the applied intervals (handles *partial* overlap
+   when restart re-batches differently, AND out-of-order chunk delivery: a
+   scalar max-LSN watermark silently dropped a never-applied earlier chunk
+   when the file source broke an mtime tie the wrong way — the round-1 flaky
+   wrong-final-state bug), normalize mixed schema epochs, evolve the table
    schema if the batch carries a newer epoch,
+
+   Delivery contract: each delivery unit (stream file / split sub-batch) is
+   one LSN-contiguous chunk of the WAL; units may arrive out of order and may
+   be re-delivered whole or re-chunked, but two distinct units never
+   interleave LSNs. This matches binlog/WAL file semantics and is what lets
+   the gate track intervals instead of a per-LSN set.
 4. LWW dedup per key as a max_by AGGREGATE (cdc/lww.py — map-side combine,
    skew-immune without salting),
 5. vectorized text extraction on the winners only (never on losers — the
@@ -42,7 +54,45 @@ from migration_pair_spark.functions.extract import with_extracted_text
 from migration_pair_spark.lakehouse.table import LakeTable
 
 WATERMARK_PROP = "engine.max_lsn"
+RANGES_PROP = "engine.applied_lsn_ranges"
 EPOCH_PROP = "engine.schema_epoch"
+
+_NEG_INF = -(2**62)
+
+
+def load_applied_ranges(properties: dict) -> list[tuple[int, int]]:
+    """The committed applied-LSN intervals, merged and sorted. Tables written
+    before interval tracking carry only ``engine.max_lsn``; that legacy
+    watermark reads as one interval (-inf, wm]."""
+    import json
+
+    raw = properties.get(RANGES_PROP)
+    if raw:
+        return [(int(lo), int(hi)) for lo, hi in json.loads(raw)]
+    wm = int(properties.get(WATERMARK_PROP, "0"))
+    return [(_NEG_INF, wm)] if wm > 0 else []
+
+
+def merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Merge overlapping/adjacent intervals. In the steady state (in-order
+    delivery) this is a single interval, so the manifest property stays O(1);
+    out-of-order delivery holds at most #in-flight-chunks intervals until the
+    gaps fill."""
+    out: list[tuple[int, int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def covered_expr(col: F.Column, ranges: list[tuple[int, int]]) -> F.Column:
+    """Column predicate: LSN lies inside one of the applied intervals."""
+    e = F.lit(False)
+    for lo, hi in ranges:
+        e = e | ((col >= F.lit(lo)) & (col <= F.lit(hi)))
+    return e
 
 
 def apply_cdc_batch(
@@ -74,11 +124,12 @@ def apply_cdc_batch(
     t0 = time.monotonic()
     table.refresh()  # another writer (or a previous incarnation) may have committed
 
-    # -- 1-2: watermark gate ------------------------------------------------
+    # -- 1-2: applied-interval gate ------------------------------------------
     # One column-pruned pass over the batch yields the gate stats AND the
     # touched-bucket set (winner urls == distinct batch urls, so the fresh
     # rows' bucket set is exactly the merge's write set).
-    wm = int(table.properties.get(WATERMARK_PROP, "0"))
+    applied = load_applied_ranges(table.properties)
+    is_stale = covered_expr(F.col("change_lsn"), applied)
     per_bucket = (
         batch.groupBy(table.bucket_expr().alias("_b"))
         .agg(
@@ -86,7 +137,9 @@ def apply_cdc_batch(
             F.min("change_lsn").alias("lsn_min"),
             F.max("change_lsn").alias("lsn_max"),
             F.max("schema_epoch").alias("max_epoch"),
-            F.sum((F.col("change_lsn") <= F.lit(wm)).cast("long")).alias("n_stale"),
+            F.sum(is_stale.cast("long")).alias("n_stale"),
+            F.min(F.when(~is_stale, F.col("change_lsn"))).alias("fresh_min"),
+            F.max(F.when(~is_stale, F.col("change_lsn"))).alias("fresh_max"),
         )
         .collect()
     )
@@ -97,6 +150,14 @@ def apply_cdc_batch(
         lsn_min = min((r["lsn_min"] for r in per_bucket), default=None)
         lsn_max = max((r["lsn_max"] for r in per_bucket), default=None)
         max_epoch = max((r["max_epoch"] or 1 for r in per_bucket), default=1)
+        fresh_min = min(
+            (r["fresh_min"] for r in per_bucket if r["fresh_min"] is not None),
+            default=None,
+        )
+        fresh_max = max(
+            (r["fresh_max"] for r in per_bucket if r["fresh_max"] is not None),
+            default=None,
+        )
 
     stats = _Stats
     touched = sorted(r["_b"] for r in per_bucket if r["n"] > (r["n_stale"] or 0))
@@ -107,7 +168,7 @@ def apply_cdc_batch(
         "rows_in_batch": int(stats.n),
         "table_version_before": table.version,
     }
-    if stats.n == 0 or (stats.lsn_max is not None and stats.lsn_max <= wm):
+    if stats.n == 0 or stats.fresh_max is None:
         return {
             **lineage_base,
             "skipped": True,
@@ -128,7 +189,18 @@ def apply_cdc_batch(
                 table.evolve_schema(ops)
         epoch_props[EPOCH_PROP] = str(max_epoch)
 
-    fresh = batch.filter(F.col("change_lsn") > F.lit(wm))
+    fresh = batch.filter(~covered_expr(F.col("change_lsn"), applied))
+
+    # The intervals this commit publishes: applied so far + this chunk's
+    # fresh span. Data + intervals commit in ONE snapshot (same atomicity
+    # argument as the scalar watermark).
+    import json as _json
+
+    new_ranges = merge_ranges(applied + [(int(stats.fresh_min), int(stats.fresh_max))])
+    wm_props = {
+        WATERMARK_PROP: str(max(hi for _, hi in new_ranges)),
+        RANGES_PROP: _json.dumps(new_ranges),
+    }
 
     # -- 4: LWW dedup per key (aggregate form: map-side combine makes the
     # shuffle O(distinct keys) and neutralizes hot-key skew without salting;
@@ -175,7 +247,7 @@ def apply_cdc_batch(
         new_version, added = table.append_delta_buckets(
             winners_phys,
             touched,
-            properties={WATERMARK_PROP: str(int(stats.lsn_max)), **epoch_props},
+            properties={**wm_props, **epoch_props},
             lineage=lineage,
         )
         new_files = [os.path.join(table.path, rel) for rel in added]
@@ -192,7 +264,7 @@ def apply_cdc_batch(
         new_version = table.replace_buckets(
             final,
             touched,
-            properties={WATERMARK_PROP: str(int(stats.lsn_max)), **epoch_props},
+            properties={**wm_props, **epoch_props},
             lineage=lineage,
         )
         touched_set = set(touched)
@@ -203,9 +275,10 @@ def apply_cdc_batch(
             for e in files
         ]
 
-    # Per-batch counters from a column-pruned scan of the committed rows with
-    # _lsn > watermark (COW: rows that actually landed — losers of the
-    # cross-batch guard are not counted; MOR: the appended winners). Only
+    # Per-batch counters from a column-pruned scan of the committed rows whose
+    # _lsn is outside the PRE-commit applied intervals (COW: rows that actually
+    # landed — losers of the cross-batch guard are not counted; MOR: the
+    # appended winners). Only
     # (_lsn, _deleted) are read; the bucket comes from each file's
     # "_bucket=N" parent directory (part-file BASENAMES repeat across the
     # bucket dirs one task writes, so the dir component is the only safe key).
@@ -225,7 +298,7 @@ def apply_cdc_batch(
             table.spark.read.schema(count_schema)
             .option("recursiveFileLookup", "true")
             .parquet(*new_files)
-            .filter(F.col("_lsn") > F.lit(wm))
+            .filter(~covered_expr(F.col("_lsn"), applied))
             .groupBy(
                 F.regexp_extract(bucket_dir, r"_bucket=(\d+)", 1).alias("_b"),
                 "_deleted",

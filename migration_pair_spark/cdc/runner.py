@@ -164,7 +164,16 @@ class CdcPipeline:
                     )
                     lo, part = hi + 1, part + 1
                 applied = [l for l in lineages if not l["skipped"]]
+                # MOR maintenance must run here too: the split path IS the
+                # large-batch path where delta-file accumulation matters most.
+                summary_for_compact = {"skipped": not applied}
+                self._maybe_auto_compact(table, summary_for_compact)
                 return {
+                    **{
+                        k: v
+                        for k, v in summary_for_compact.items()
+                        if k.startswith("auto_compact")
+                    },
                     "batch_id": batch_id,
                     "split_into": len(lineages),
                     "skipped": not applied,

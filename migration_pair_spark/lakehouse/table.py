@@ -176,19 +176,31 @@ class LakeTable:
     # ------------------------------------------------------------- commit
 
     def _write_manifest(self, manifest: dict) -> None:
-        """Atomic publish: temp file + os.rename; refuse to clobber."""
+        """Atomic EXCLUSIVE publish. POSIX ``os.rename`` silently REPLACES an
+        existing target, so rename alone (plus an exists() pre-check) is a
+        TOCTOU race: two concurrent committers could both publish the same
+        version and one snapshot's files + watermark would be silently lost.
+        ``os.link`` fails with EEXIST if the target exists — that failure IS
+        the optimistic-concurrency conflict (Iceberg commit-conflict analog);
+        the loser must refresh and retry its whole batch."""
         mdir = os.path.join(self.path, "manifests")
         final = os.path.join(mdir, f"v{manifest['version']:08d}.json")
-        if os.path.exists(final):
-            raise RuntimeError(
-                f"commit conflict: snapshot v{manifest['version']} already exists"
-            )
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, final)  # atomic on POSIX
+        try:
+            os.link(tmp, final)  # atomic + exclusive (EEXIST on conflict)
+        except FileExistsError:
+            raise RuntimeError(
+                f"commit conflict: snapshot v{manifest['version']} already exists"
+            ) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:  # pragma: no cover
+                pass
 
     def _next_manifest(self) -> dict:
         m = json.loads(json.dumps(self.manifest))  # deep copy
@@ -471,7 +483,15 @@ class LakeTable:
         old files are reconciled on read. Incompatible ops hard-fail —
         reference analog: the schema-compliance gate
         /root/reference/Tasks/EndToEnd.cs:51-85, turned from a rejector into
-        an evolver (SURVEY.md §1, O3)."""
+        an evolver (SURVEY.md §1, O3).
+
+        IDEMPOTENT per op: an op whose effect is already present (column
+        exists with the same type / rename already applied / already widened)
+        is a no-op. Evolution commits its own manifest BEFORE the epoch's
+        data commit advances EPOCH_PROP; a crash in that window replays the
+        same epoch ops, which must re-apply cleanly instead of wedging every
+        retry with 'column already exists'. Returns the current version
+        unchanged when all ops were no-ops."""
         m = self._next_manifest()
         cur = _schema_from_json(json.dumps(m["schemas"][str(m["schema_version"])]))
         fields = list(cur.fields)
@@ -488,18 +508,31 @@ class LakeTable:
             ("int", "double"),
             ("bigint", "double"),
         }
+        changed = False
         for op in ops:
             if isinstance(op, AddColumn):
+                want = T._parse_datatype_string(op.type)
                 if op.name in names:
-                    raise ValueError(f"column {op.name} already exists")
-                fields.append(
-                    T.StructField(
-                        op.name, T._parse_datatype_string(op.type), True
+                    have = fields[names.index(op.name)].dataType
+                    # already applied if present with the wanted type OR a
+                    # valid widening of it (replaying an add from before a
+                    # later widen epoch)
+                    if have == want or (
+                        want.simpleString(),
+                        have.simpleString(),
+                    ) in widen_ok:
+                        continue
+                    raise ValueError(
+                        f"column {op.name} already exists with type "
+                        f"{have.simpleString()} (wanted {want.simpleString()})"
                     )
-                )
+                fields.append(T.StructField(op.name, want, True))
                 names.append(op.name)
+                changed = True
             elif isinstance(op, RenameColumn):
                 if op.old not in names:
+                    if op.new in names:
+                        continue  # replayed op — rename already applied
                     raise ValueError(f"cannot rename missing column {op.old}")
                 i = names.index(op.old)
                 fields[i] = T.StructField(op.new, fields[i].dataType, fields[i].nullable)
@@ -507,19 +540,25 @@ class LakeTable:
                 m["renames"].append(
                     {"old": op.old, "new": op.new, "at_schema_version": new_sv}
                 )
+                changed = True
             elif isinstance(op, WidenColumn):
                 if op.name not in names:
                     raise ValueError(f"cannot widen missing column {op.name}")
                 i = names.index(op.name)
                 old_t = fields[i].dataType.simpleString()
                 new_t = T._parse_datatype_string(op.new_type)
-                if (old_t, new_t.simpleString()) not in widen_ok and old_t != new_t.simpleString():
+                if old_t == new_t.simpleString():
+                    continue  # replayed op — already widened
+                if (old_t, new_t.simpleString()) not in widen_ok:
                     raise ValueError(
                         f"incompatible widen {op.name}: {old_t} -> {new_t.simpleString()}"
                     )
                 fields[i] = T.StructField(op.name, new_t, True)
+                changed = True
             else:  # pragma: no cover
                 raise TypeError(f"unknown evolution op {op!r}")
+        if not changed:
+            return self.version  # full replay — nothing to commit
         m["schema_version"] = new_sv
         m["schemas"][str(new_sv)] = T.StructType(fields).jsonValue()
         self._write_manifest(m)

@@ -38,12 +38,18 @@ def get_spark(
     cluster ``spark.task.maxFailures`` governs instead.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    if master is None:
+    # Under spark-submit the driver python is launched by an existing JVM
+    # gateway (PYSPARK_GATEWAY_PORT set) and spark.master comes from the
+    # submit args — calling builder.master() there would silently downgrade a
+    # cluster deployment to single-node local mode. Fall back to local[N]
+    # ONLY when no external master can be in play.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not submitted:
         master = (
             f"local[{cpus},{task_retries}]" if task_retries and task_retries > 1
             else f"local[{cpus}]"
         )
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and master is not None:
         # local[N], local[N,F] or local[*]
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
         inner = inner.split(",")[0].strip()
@@ -51,8 +57,6 @@ def get_spark(
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -76,6 +80,14 @@ def get_spark(
             ),
         )
     )
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is not None:
+        # On a cluster (master from spark-submit) the initial partition count
+        # is left to the deployment + AQE coalescing.
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -173,6 +173,16 @@ def write_change_stream(
             chunk = chunk.rename(columns={"lang": "language"})
         table = pa.Table.from_pandas(chunk, schema=arrow_schema(epoch), preserve_index=False)
         pq.write_table(table, os.path.join(out_dir, f"events-{i:05d}.parquet"))
+    # Strictly increasing mtimes (10 ms apart): Spark's file stream source
+    # orders pending files by millisecond mtime and breaks ties
+    # nondeterministically — files written back-to-back can land in the same
+    # millisecond and replay out of LSN order. The engine's interval gate now
+    # stays correct under that (cdc/apply.py), but deterministic in-order
+    # delivery is what a real WAL tail provides and what the bench measures.
+    base = os.stat(os.path.join(out_dir, f"events-{n_files - 1:05d}.parquet")).st_mtime
+    for i in range(n_files):
+        t = base + (i + 1) * 0.010
+        os.utime(os.path.join(out_dir, f"events-{i:05d}.parquet"), (t, t))
     return df
 
 

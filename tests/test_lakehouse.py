@@ -78,6 +78,28 @@ def test_commit_conflict_rejected(spark, tmp_table_dir):
         stale._write_manifest({**stale._manifest, "version": t.version})
 
 
+def test_concurrent_commit_loser_cannot_clobber(spark, tmp_table_dir):
+    """ADVICE r1: POSIX rename silently replaces an existing target, so the
+    old exists()+rename publish was a TOCTOU race. With link-based exclusive
+    publish, the second committer of the same version must FAIL and the
+    winner's snapshot (data files + properties) must survive intact."""
+    _mk(spark, tmp_table_dir)
+    a = LakeTable.load(spark, tmp_table_dir)
+    b = LakeTable.load(spark, tmp_table_dir)  # same base version as a
+    a.append_bucketed(_rows(spark, 4), properties={"who": "a"})
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        b.append_bucketed(_rows(spark, 8), properties={"who": "b"})
+    fresh = LakeTable.load(spark, tmp_table_dir)
+    assert fresh.properties["who"] == "a"
+    assert fresh.read().count() == 4
+    # no temp manifests left behind by the losing committer
+    leftovers = [
+        f for f in os.listdir(os.path.join(tmp_table_dir, "manifests"))
+        if f.startswith(".tmp-")
+    ]
+    assert leftovers == []
+
+
 def test_snapshot_versions_and_refresh(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir)
     t.append_bucketed(_rows(spark, 4))
@@ -107,8 +129,12 @@ def test_incompatible_widen_hard_fails(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir)
     with pytest.raises(ValueError, match="incompatible widen"):
         t.evolve_schema([WidenColumn("fetch_status", "string")])
+    # re-adding an existing column with the SAME type is a crash-replay no-op
+    # (idempotent evolution); a DIFFERENT type is genuine drift and fails
+    v = t.version
+    assert t.evolve_schema([AddColumn("lang", "string")]) == v
     with pytest.raises(ValueError, match="already exists"):
-        t.evolve_schema([AddColumn("lang", "string")])
+        t.evolve_schema([AddColumn("lang", "int")])
     with pytest.raises(ValueError, match="missing column"):
         t.evolve_schema([RenameColumn("nope", "x")])
 

@@ -134,6 +134,44 @@ def test_watermark_committed_atomically_with_data(spark, stream_dir, tmp_path):
     assert t.manifest["lineage"]["lsn_max"] == N_EVENTS
 
 
+def test_out_of_order_chunk_delivery_converges(spark, stream_dir, tmp_path):
+    """Round-1 flake, root-caused: Spark's file source orders pending files by
+    MILLISECOND mtime and breaks ties nondeterministically; with a scalar
+    max-LSN watermark, a later-LSN file processed first advanced the watermark
+    and silently dropped every earlier never-applied file. Force the worst
+    case (all mtimes identical) and additionally apply chunks in explicitly
+    reversed order: the interval gate must apply every chunk exactly once."""
+    import glob
+    import shutil
+
+    d, full = stream_dir
+    d2 = str(tmp_path / "events-tied")
+    shutil.copytree(d, d2)
+    t0 = None
+    for f in sorted(glob.glob(os.path.join(d2, "*.parquet"))):
+        t0 = t0 if t0 is not None else os.stat(f).st_mtime
+        os.utime(f, (t0, t0))
+
+    # (a) stream with tied mtimes — order is up to the source's tie-break
+    pipe = _pipe(tmp_path, "ooo-stream")
+    lineages = pipe.run_stream(
+        spark, d2, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    assert sum(not l["skipped"] for l in lineages) == N_FILES
+    assert _state(spark, pipe.table_path) == _oracle_state(full)
+
+    # (b) adversarial: chunks applied in strictly REVERSED LSN order
+    pipe2 = _pipe(tmp_path, "ooo-batch")
+    for i, f in enumerate(sorted(glob.glob(os.path.join(d2, "*.parquet")), reverse=True)):
+        lin = pipe2.apply_batch(spark, spark.read.parquet(f), batch_id=i)
+        assert not lin["skipped"]
+    assert _state(spark, pipe2.table_path) == _oracle_state(full)
+    t = LakeTable.load(spark, pipe2.table_path)
+    import json
+
+    assert json.loads(t.properties["engine.applied_lsn_ranges"]) == [[1, N_EVENTS]]
+
+
 def test_oversized_batch_splits_into_bounded_subcommits(spark, stream_dir, tmp_path):
     d, full = stream_dir
     pipe = CdcPipeline(

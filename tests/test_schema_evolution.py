@@ -43,6 +43,33 @@ def test_evolution_final_schema_and_state(spark, evo_stream, tmp_path):
     assert list(res["warc_ts"]) == list(oracle["warc_ts"])
 
 
+def test_evolve_schema_op_replay_is_idempotent(spark, tmp_path):
+    """Crash window (ADVICE r1): evolve_schema commits BEFORE the data commit
+    advances EPOCH_PROP; dying in between replays the same epoch ops. Each op
+    must no-op when its effect is already present instead of wedging the
+    stream with 'column already exists'."""
+    from migration_pair_spark.cdc.runner import PAGES_EPOCH_REGISTRY, PAGES_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), PAGES_SCHEMA, key_col="url", n_buckets=4
+    )
+    t.evolve_schema(PAGES_EPOCH_REGISTRY[2])
+    v = t.evolve_schema(PAGES_EPOCH_REGISTRY[3])
+    # replay of both epochs' ops: all no-ops, no new snapshot, schema stable
+    assert t.evolve_schema(PAGES_EPOCH_REGISTRY[2]) == v
+    assert t.evolve_schema(PAGES_EPOCH_REGISTRY[3]) == v
+    got = {f.name: f.dataType for f in t.schema.fields}
+    assert got["language"] == T.StringType()
+    assert got["fetch_status"] == T.LongType()
+    # genuinely incompatible drift still hard-fails
+    from migration_pair_spark.lakehouse.table import AddColumn, WidenColumn
+
+    with pytest.raises(ValueError):
+        t.evolve_schema([AddColumn("fetch_status", "string")])
+    with pytest.raises(ValueError):
+        t.evolve_schema([WidenColumn("fetch_status", "int")])
+
+
 def test_evolution_is_idempotent_on_replay(spark, evo_stream, tmp_path):
     d, full = evo_stream
     pipe = CdcPipeline(table_path=str(tmp_path / "pages"), n_buckets=8, salt_buckets=4)
