@@ -2,8 +2,10 @@
 
 ``entry`` runs the flagship CDC final-state query; ``queries`` /
 ``oracle_sql`` expose the full operator catalog from
-``migration_pair_spark.queries`` (SURVEY.md §2 coverage). Non-SQL-expressible
-operators (approximate ANN) ship a queries() entry only -> rows-only check.
+``migration_pair_spark.queries`` (SURVEY.md §2 coverage). Every entry has an
+exact DuckDB oracle — including ANN similarity search, whose integer-SRP
+signature pipeline is reproduced bit-identically in SQL (operators/
+similarity.py).
 """
 
 from __future__ import annotations

@@ -137,8 +137,13 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Defaults ARE the full-evidence protocol (BENCH/BASELINE.md): 4M events
+    # amortize the per-batch fixed cost that otherwise dominates the scaling
+    # number at sandbox batch sizes; 3 timed reps + adaptive extension ride
+    # out hypervisor-steal spikes (min is the honest statistic — steal only
+    # inflates).
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     low, high = 2, 8  # N and 4N; see BENCH/BASELINE.md for why not 8/32
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None

@@ -235,22 +235,42 @@ def apply_cdc_batch(
         **lineage_base,
         "skipped": False,
         "write_mode": write_mode,
-        "rows_skipped": int(stats.n_stale or 0),  # already-applied (<= watermark)
+        "rows_skipped": int(stats.n_stale or 0),  # already-applied (covered)
         "wall_ms": None,  # filled after commit
     }
-    import os
+
+    # Per-batch counters ride the WRITE job itself via observable metrics —
+    # no second driver job, no re-scan of the committed files (the round-1
+    # shape paid one extra job per micro-batch, the dominant fixed cost at
+    # small batches). Counted rows are the fresh ones that actually LAND:
+    # COW counts post-merge survivors (losers of the cross-batch guard are
+    # absent from `final`); MOR counts the appended winners. The per-bucket
+    # breakdown is len(touched) conditional counts — bounded by n_buckets,
+    # all folded into the same single pass.
+    from pyspark.sql import Observation
+
+    fresh_landed = ~covered_expr(F.col("_lsn"), applied)
+    obs = Observation(f"lineage-{batch_id}")
+    obs_metrics = [
+        F.count(F.when(fresh_landed & ~F.col("_deleted"), 1)).alias("_up"),
+        F.count(F.when(fresh_landed & F.col("_deleted"), 1)).alias("_del"),
+    ] + [
+        F.count(F.when(fresh_landed & (F.col("_bucket") == F.lit(b)), 1)).alias(
+            f"_b{b}"
+        )
+        for b in touched
+    ]
 
     if write_mode == "mor":
         # merge-on-read: append the winners as delta files — write cost is
         # O(batch); the cross-batch LWW guard moves to read/compaction time
         # (same max_by over the table's lww_order).
-        new_version, added = table.append_delta_buckets(
-            winners_phys,
+        new_version, _added = table.append_delta_buckets(
+            winners_phys.observe(obs, *obs_metrics),
             touched,
             properties={**wm_props, **epoch_props},
             lineage=lineage,
         )
-        new_files = [os.path.join(table.path, rel) for rel in added]
     else:
         # copy-on-write: union the touched buckets' current rows with the
         # winners and re-resolve. The heavy pipeline (dedup + extraction)
@@ -262,61 +282,18 @@ def apply_cdc_batch(
         merged = current.unionByName(winners_phys)
         final = lww_dedup_agg(merged, key_cols=(key,), order_cols=("warc_ts", "_lsn"))
         new_version = table.replace_buckets(
-            final,
+            final.observe(obs, *obs_metrics),
             touched,
             properties={**wm_props, **epoch_props},
             lineage=lineage,
         )
-        touched_set = set(touched)
-        new_files = [
-            os.path.join(table.path, e["path"])
-            for b, files in table.manifest["buckets"].items()
-            if int(b) in touched_set
-            for e in files
-        ]
 
-    # Per-batch counters from a column-pruned scan of the committed rows whose
-    # _lsn is outside the PRE-commit applied intervals (COW: rows that actually
-    # landed — losers of the cross-batch guard are not counted; MOR: the
-    # appended winners). Only
-    # (_lsn, _deleted) are read; the bucket comes from each file's
-    # "_bucket=N" parent directory (part-file BASENAMES repeat across the
-    # bucket dirs one task writes, so the dir component is the only safe key).
-    op_counts: dict[bool, int] = {}
-    bucket_counts: dict[str, int] = {}
-    if new_files:
-        from pyspark.sql import types as T
-
-        count_schema = T.StructType(
-            [
-                T.StructField("_lsn", T.LongType(), True),
-                T.StructField("_deleted", T.BooleanType(), True),
-            ]
-        )
-        bucket_dir = F.element_at(F.split(F.input_file_name(), "/"), -2)
-        applied_stats = (
-            table.spark.read.schema(count_schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(*new_files)
-            .filter(~covered_expr(F.col("_lsn"), applied))
-            .groupBy(
-                F.regexp_extract(bucket_dir, r"_bucket=(\d+)", 1).alias("_b"),
-                "_deleted",
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        for r in applied_stats:
-            if r["_b"] == "":
-                raise RuntimeError(
-                    f"lineage counting: file outside a _bucket= dir in commit "
-                    f"v{new_version}"
-                )
-            op_counts[r["_deleted"]] = op_counts.get(r["_deleted"], 0) + r["n"]
-            bucket_counts[r["_b"]] = bucket_counts.get(r["_b"], 0) + r["n"]
-    lineage["rows_upserted"] = int(op_counts.get(False, 0))
-    lineage["rows_deleted"] = int(op_counts.get(True, 0))
-    lineage["partition_counts"] = bucket_counts
+    observed = obs.get  # available immediately: the write action completed
+    lineage["rows_upserted"] = int(observed["_up"])
+    lineage["rows_deleted"] = int(observed["_del"])
+    lineage["partition_counts"] = {
+        str(b): int(observed[f"_b{b}"]) for b in touched if observed[f"_b{b}"]
+    }
     lineage["snapshot_id"] = new_version
     lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
     # Append-only per-table audit log (manifest holds the same record).

@@ -22,6 +22,7 @@ real Iceberg catalog is a config switch:
   name-mapping lite).
 """
 
+from migration_pair_spark.lakehouse.interface import UpsertTarget
 from migration_pair_spark.lakehouse.table import (
     AddColumn,
     LakeTable,
@@ -29,4 +30,4 @@ from migration_pair_spark.lakehouse.table import (
     WidenColumn,
 )
 
-__all__ = ["LakeTable", "AddColumn", "RenameColumn", "WidenColumn"]
+__all__ = ["LakeTable", "UpsertTarget", "AddColumn", "RenameColumn", "WidenColumn"]

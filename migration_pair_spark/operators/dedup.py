@@ -131,15 +131,18 @@ def jaccard_verify(
     pre-filter), so it is broadcast to both shingle-join sides."""
     sh = shingles_df if shingles_df is not None else shingles(docs, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    pairs = F.broadcast(pairs)
-    cand_docs = F.broadcast(
+    cand_docs = (
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select("doc_b"))
         .distinct()
     )
-    sh_c = sh.join(cand_docs, id_col, "left_semi")
+    # Broadcast hints go on the JOIN INPUTS directly: a hint placed before a
+    # union/distinct is stripped during optimization ("join hint ... not part
+    # of a join relation" warning) and the intended broadcast silently never
+    # happens. Pinned in tests/test_plans.py.
+    sh_c = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
     inter = (
-        pairs.join(sh_c.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        F.broadcast(pairs).join(sh_c.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
         .join(
             sh_c.alias("sb"),
             (F.col("doc_b") == F.col(f"sb.{id_col}"))
@@ -164,6 +167,65 @@ def jaccard_verify(
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
     return out
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION — the step that lets dedup actually drop
+    rows: connected components over verified duplicate pairs, each doc mapped
+    to its component's minimum id. Returns (doc_id, keeper_doc_id) for EVERY
+    document (singletons keep themselves); rows with keeper != self are the
+    drop set.
+
+    Implementation: iterative min-label propagation with joins + aggregates
+    only (no GraphX / no RDDs). Per round every node takes the min of its own
+    label and its neighbors' labels; converges in O(component diameter)
+    rounds — near-dup clusters are shallow (dup pairs of one source doc), so
+    a handful of rounds suffices. Each round is one join + one groupBy on the
+    EDGE set only (not the corpus), so at 100 TB the loop cost scales with
+    the duplicate graph, not the table. The driver-side convergence check is
+    one count per round (bounded, like the CDC gate stats)."""
+    # localCheckpoint (eager) per round: iterative algorithms MUST truncate
+    # lineage, or round k replays rounds 1..k-1 and the plan grows without
+    # bound; checkpointed blocks are reclaimed by the context cleaner.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.select(F.col("id").alias("dst"), F.col("label")), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        new_labels = (
+            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover
+        raise RuntimeError(f"dedup_clusters did not converge in {max_iters} rounds")
+    return docs.select(id_col).join(
+        labels.select(F.col("id").alias(id_col), F.col("label")),
+        id_col,
+        "left",
+    ).select(
+        id_col,
+        F.coalesce(F.col("label"), F.col(id_col)).alias("keeper_doc_id"),
+    )
 
 
 def simhash(

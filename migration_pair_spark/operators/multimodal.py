@@ -66,12 +66,42 @@ def frame_sample(payload: bytes, every_n: int = 30) -> list[bytes]:
     )
 
 
+def binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """(id, binary) -> (id, byte_len, payload_md5, modality) with BUILT-INS
+    only — ``octet_length`` and ``md5`` are JVM-side codegen'd expressions, so
+    the metadata fast path has NO Python stage at all (plan-pinned in
+    tests/test_plans.py). Modality sniffing from magic bytes is also pure
+    Catalyst (hex prefix compare). Use :func:`extract_binary_metadata` only
+    when a real decoder must run."""
+    from pyspark.sql import functions as F
+
+    prefix = F.upper(F.hex(F.substring(F.col(bin_col), 1, 4)))
+    modality = (
+        F.when(F.col(bin_col).isNull(), F.lit(None).cast("string"))
+        .when(prefix.startswith("89504E47"), F.lit("image"))  # PNG
+        .when(prefix.startswith("FFD8FF"), F.lit("image"))  # JPEG
+        .when(prefix.startswith("494433"), F.lit("audio"))  # ID3/MP3
+        .otherwise(F.lit("binary"))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.octet_length(F.col(bin_col)).cast("long"), F.lit(0)).alias(
+            "byte_len"
+        ),
+        F.md5(F.col(bin_col)).alias("payload_md5"),
+        modality.alias("modality"),
+    )
+
+
 def extract_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
     """(id, binary) -> (id, byte_len, payload_md5, modality) via mapInPandas.
 
-    The md5/length are computed with pandas C kernels per Arrow batch; only
-    the modality tag goes through the (stubbed) decoder.
-    """
+    This is the DECODER SEAM: the shape a real image/audio decoder plugs
+    into (Arrow-batched, pruned input, compact metadata output). The
+    byte_len/md5/modality work inside it is honest per-element Python
+    (hashlib has no vectorized kernel) — which is why the hot metadata path
+    is :func:`binary_metadata` (pure Catalyst built-ins) and this function
+    exists only to host decode kernels that genuinely need Python."""
     pruned = df.select(id_col, bin_col)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -501,6 +501,22 @@ def sessionize_events(spark, sf_dir):
     )
 
 
+@q(
+    "tumbling_event_counts",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "event-time tumbling-window rollup (batch twin of the watermarked "
+    "streaming aggregation in streaming/windowed.py)",
+)
+def tumbling_event_counts(spark, sf_dir):
+    from migration_pair_spark.streaming.windowed import tumbling_counts
+
+    return tumbling_counts(t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # C. Training-data pipeline
 # --------------------------------------------------------------------------
@@ -623,10 +639,14 @@ REGISTRY["lang_id_docs"] = QueryDef(
     REGISTRY["lang_id_docs"].doc,
 )
 
+# Positions come from a per-row range() list (lateral-free in DuckDB 1.0) —
+# unbounded, so the oracle stays exact for arbitrarily long documents (the
+# old generate_series(1, 2000) cap silently diverged past 2004 chars).
 _SH_SQL = """
     SELECT DISTINCT doc_id, substr(text, g, 5) AS shingle
-    FROM documents, generate_series(1, 2000) s(g)
-    WHERE g <= greatest(length(text) - 4, 1)
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS g
+          FROM documents)
 """
 
 @q(
@@ -643,10 +663,10 @@ def ngram_shingle_counts(spark, sf_dir):
 
 
 _SIG_COLS = ", ".join(f"min(md5('s{i}' || shingle)) AS h{i}" for i in range(8))
+_SIG_BODY = f"SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id"
 _SIG_SQL = f"""
     WITH sh AS ({_SH_SQL})
-    SELECT doc_id, {_SIG_COLS}
-    FROM sh GROUP BY doc_id
+    {_SIG_BODY}
 """
 
 @q(
@@ -692,6 +712,57 @@ def lsh_dup_pairs(spark, sf_dir):
     sig = dd.minhash_signatures(docs, shingles_df=sh)
     pairs = dd.lsh_candidate_pairs(sig).persist()
     return dd.jaccard_verify(docs, pairs, shingles_df=sh)
+
+
+@q(
+    "neardup_doc_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SH_SQL}),
+    sig AS ({_SIG_BODY}),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    dup_edges AS (
+        SELECT i.doc_a AS src, i.doc_b AS dst
+        FROM inter i JOIN szs za ON za.doc_id = i.doc_a JOIN szs zb ON zb.doc_id = i.doc_b
+        WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.5
+        UNION ALL
+        SELECT i.doc_b, i.doc_a
+        FROM inter i JOIN szs za ON za.doc_id = i.doc_a JOIN szs zb ON zb.doc_id = i.doc_b
+        WHERE i.n_inter / (za.sz + zb.sz - i.n_inter) >= 0.5
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM dup_edges
+        UNION
+        SELECT e.src, r.r FROM dup_edges e JOIN reach r ON r.id = e.dst
+    ),
+    lab AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+    SELECT d.doc_id, coalesce(l.keeper, d.doc_id) AS keeper_doc_id
+    FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+    """,
+    "near-dup cluster resolution: connected components over verified pairs "
+    "(jaccard >= 0.5), keeper = min doc_id per component",
+)
+def neardup_doc_clusters(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    sh = dd.shingles(docs).persist()
+    sig = dd.minhash_signatures(docs, shingles_df=sh)
+    cand = dd.lsh_candidate_pairs(sig)
+    pairs = dd.jaccard_verify(docs, cand, shingles_df=sh, threshold=0.5)
+    return dd.dedup_clusters(docs, pairs)
 
 
 @q(
@@ -753,44 +824,24 @@ def embedding_topk_cosine(spark, sf_dir):
 
 @q(
     "embedding_neardup_pairs",
-    """
-    WITH ex AS (
-        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-               unnest(range(len(embedding))) AS i
-        FROM embeddings
-    ),
-    norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id),
-    dots AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
-        FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY a.vec_id, b.vec_id
-    )
-    SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
-    FROM dots JOIN norms na ON na.vec_id = vec_a
-              JOIN norms nb ON nb.vec_id = vec_b
-    WHERE dot / (na.nrm * nb.nrm) >= 0.35
-    """,
-    "embedding-cosine near-duplicate pairs (all-pairs above threshold)",
+    similarity.neardup_oracle_sql(threshold=0.35),
+    "embedding-cosine near-dup pairs: SRP-LSH candidates + exact verify "
+    "(oracle = all-pairs ground truth, so the row also proves recall 1.0)",
 )
 def embedding_neardup_pairs(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("_va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("_vb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    sim = similarity._dot(F.col("_va"), F.col("_vb")) / (
-        similarity._norm(F.col("_va")) * similarity._norm(F.col("_vb"))
-    )
-    return (
-        pairs.withColumn("_sim", sim)
-        .filter(F.col("_sim") >= 0.35)
-        .select("vec_a", "vec_b", F.round("_sim", 4).alias("cosine"))
+    # Scale shape: bucket self-join + candidate-only verify — no cartesian
+    # (plan-pinned in tests/test_plans.py). The all-pairs form lives only in
+    # the DuckDB oracle above.
+    return similarity.neardup_pairs_lsh(
+        t(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
 
 @q(
     "embedding_ann_lsh",
-    None,  # approximate: validated against the brute-force baseline in pytest
-    "LSH-bucketed approximate nearest neighbors (scale path)",
+    similarity.ann_lsh_oracle_sql(k=3, n_planes=4, n_tables=8, query_max_id=5),
+    "LSH-bucketed approximate nearest neighbors (scale path; exact integer-"
+    "SRP oracle)",
 )
 def embedding_ann_lsh(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
@@ -804,10 +855,10 @@ def embedding_ann_lsh(spark, sf_dir):
            md5(text) AS payload_md5, 'binary' AS modality
     FROM documents
     """,
-    "multimodal binary-column plumbing: Arrow-batched metadata extraction",
+    "multimodal binary-column metadata: pure built-ins, no Python stage",
 )
 def multimodal_meta(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
-    return multimodal.extract_binary_metadata(d)
+    return multimodal.binary_metadata(d)

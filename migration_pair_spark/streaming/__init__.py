@@ -1,0 +1,9 @@
+"""Structured-Streaming operators beyond the CDC tail: event-time windowed
+aggregation with watermarked late-data handling."""
+
+from migration_pair_spark.streaming.windowed import (
+    streaming_tumbling_counts,
+    tumbling_counts,
+)
+
+__all__ = ["tumbling_counts", "streaming_tumbling_counts"]

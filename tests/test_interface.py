@@ -1,0 +1,76 @@
+"""UpsertTarget seam contract (SURVEY.md §7 S0 promise, VERDICT r1 #10):
+LakeTable satisfies the protocol, and the CDC merge loop can run against a
+proxy that REJECTS any attribute outside it — i.e. swapping in an Iceberg
+adapter is provably a config switch, not a rewrite."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from migration_pair_spark import synth
+from migration_pair_spark.cdc.apply import apply_cdc_batch
+from migration_pair_spark.cdc.runner import PAGES_SCHEMA
+from migration_pair_spark.lakehouse import LakeTable, UpsertTarget
+from migration_pair_spark.lakehouse.interface import UpsertTarget as _Proto
+
+SEAM = {
+    name
+    for name in vars(_Proto)
+    if not name.startswith("_") or name in ()
+}
+
+
+def test_laketable_satisfies_protocol(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), PAGES_SCHEMA, key_col="url", n_buckets=4
+    )
+    assert isinstance(t, UpsertTarget)
+
+
+class SeamProxy:
+    """Forwards ONLY protocol members; anything else is a seam violation."""
+
+    def __init__(self, inner):
+        object.__setattr__(self, "_inner", inner)
+
+    def __getattr__(self, name):
+        if name not in SEAM:
+            raise AssertionError(
+                f"CDC loop reached outside the UpsertTarget seam: {name!r}"
+            )
+        return getattr(object.__getattribute__(self, "_inner"), name)
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "mor"])
+def test_cdc_loop_runs_through_the_seam_only(spark, tmp_path, write_mode):
+    events = spark.createDataFrame(
+        synth.make_change_events(300, 40, seed=7),
+        schema="change_lsn long, op string, url string, warc_ts timestamp, "
+        "html binary, lang string, schema_epoch int",
+    ).withColumn("language", F.lit(None).cast("string")).withColumn(
+        "fetch_status", F.lit(None).cast("long")
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "pages"), PAGES_SCHEMA, key_col="url", n_buckets=4
+    )
+    proxy = SeamProxy(table)
+    lin = apply_cdc_batch(proxy, events, batch_id=0, write_mode=write_mode)
+    assert not lin["skipped"]
+    assert lin["rows_upserted"] > 0
+    # replay through the seam: skipped by the interval gate
+    lin2 = apply_cdc_batch(proxy, events, batch_id=1, write_mode=write_mode)
+    assert lin2["skipped"]
+    # state is real: final rows match the pandas oracle's url set
+    oracle = synth.oracle_final_state(synth.make_change_events(300, 40, seed=7))
+    got = sorted(r.url for r in table.read().select("url").collect())
+    assert got == sorted(oracle["url"])
+
+
+def test_seam_proxy_rejects_out_of_protocol_access(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), PAGES_SCHEMA, key_col="url", n_buckets=4
+    )
+    proxy = SeamProxy(t)
+    with pytest.raises(AssertionError, match="outside the UpsertTarget seam"):
+        _ = proxy.manifest  # implementation detail, not part of the seam

@@ -79,6 +79,91 @@ def test_ann_is_deterministic(spark):
     assert a == b
 
 
+def test_shingle_oracle_unbounded_for_long_docs(spark):
+    """VERDICT r1 #8: the old DuckDB shingle oracle capped positions at 2000
+    and silently diverged for docs > 2004 chars. Both engines must now agree
+    on a 5000-char document."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(13)
+    long_text = " ".join(
+        "".join(rng.choice("abcdefghij ") for _ in range(9)) for _ in range(500)
+    )
+    assert len(long_text) > 2004
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [long_text, "tiny"]})
+    got = {
+        r.doc_id: r.n
+        for r in dd.shingles(spark.createDataFrame(pdf))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    from migration_pair_spark.queries import _SH_SQL
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = dict(
+        con.execute(
+            f"WITH sh AS ({_SH_SQL}) SELECT doc_id, count(*) FROM sh GROUP BY doc_id"
+        ).fetchall()
+    )
+    assert got == want
+    assert want[1] > 2000  # the doc genuinely exceeds the old cap
+
+
+def test_neardup_lsh_equals_all_pairs_ground_truth(spark):
+    """The scale-shaped SRP-LSH near-dup must return EXACTLY the all-pairs
+    truth (recall 1.0) at the shipped fixtures — that's what keeps its
+    all-pairs DuckDB oracle green. Ground truth recomputed independently in
+    numpy with the same 1e-6 quantization."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.neardup_pairs_lsh(emb, threshold=0.35).collect()
+    }
+    pdf = emb.toPandas()
+    q = np.round(np.stack(pdf["embedding"].map(np.asarray)) * 1e6).astype(np.int64)
+    ids = pdf["vec_id"].to_numpy()
+    n2 = (q * q).sum(1).astype(np.float64)
+    S = (q @ q.T).astype(np.float64) / np.sqrt(np.outer(n2, n2))
+    iu = np.triu_indices(len(ids), 1)
+    want = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))): round(S[a, b], 4)
+        for a, b in zip(*iu)
+        if S[a, b] >= 0.35
+    }
+    assert got == want
+
+
+def test_dedup_clusters_connected_components(spark):
+    """Min-label propagation: a 4-hop chain needs multiple rounds; separate
+    components stay separate; singletons keep themselves."""
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 9), (9, 4), (4, 7), (7, 8), (2, 3)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.keeper_doc_id
+        for r in dd.dedup_clusters(docs, pairs).collect()
+    }
+    assert got == {0: 0, 1: 1, 9: 1, 4: 1, 7: 1, 8: 1, 2: 2, 3: 2, 5: 5, 6: 6}
+
+
+def test_multimodal_builtin_metadata_matches_hashlib(spark):
+    rows = [(1, b"hello world"), (2, b"\x89PNG\r\n"), (3, None), (4, b"\xff\xd8\xff\xe0")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in multimodal.binary_metadata(df).collect()}
+    assert got[1].byte_len == 11
+    assert got[1].payload_md5 == hashlib.md5(b"hello world").hexdigest()
+    assert got[1].modality == "binary"
+    assert got[2].modality == "image"
+    assert got[4].modality == "image"
+    assert got[3].payload_md5 is None and got[3].byte_len == 0 and got[3].modality is None
+
+
 def test_multimodal_metadata_matches_hashlib(spark):
     rows = [(1, b"hello world"), (2, b"\x00\x01\x02"), (3, None)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")

@@ -80,3 +80,50 @@ def test_window_query_uses_group_limit_pushdown(spark):
     # Spark 3.5+ WindowGroupLimit prunes rank<=1 rows before the full sort
     plan = plan_of(REGISTRY["lww_latest_state"].fn(spark, SF), "simple")
     assert "WindowGroupLimit" in plan
+
+
+def test_embedding_neardup_has_no_cartesian(spark):
+    """VERDICT r1 #3: near-dup must come from the SRP bucket equi-join, never
+    an all-pairs cartesian (that shape dies at 10^9 vectors)."""
+    plan = plan_of(REGISTRY["embedding_neardup_pairs"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_candidate_distinct_carries_ids_only(spark):
+    """VERDICT r1 #5: the candidate dedup must not shuffle the 64-float
+    vectors — the exchange feeding the distinct carries only id columns."""
+    plan = plan_of(REGISTRY["embedding_ann_lsh"].fn(spark, SF))
+    # the HashAggregate pair implementing the distinct keys on exactly the
+    # two id columns; no _q/embedding array rides through it
+    assert "CartesianProduct" not in plan
+    dedup_lines = [
+        l for l in plan.splitlines()
+        if "Keys" in l and "query_id" in l and "neighbor_id" in l
+    ]
+    assert dedup_lines, "candidate distinct not found in plan"
+    assert all("_q" not in l and "embedding" not in l for l in dedup_lines)
+
+
+def test_multimodal_meta_has_no_python_stage(spark):
+    """VERDICT r1 #2: metadata extraction is octet_length/md5 built-ins; any
+    Arrow/Python eval node in this plan is a regression."""
+    plan = plan_of(REGISTRY["multimodal_meta"].fn(spark, SF), "simple")
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonMapInArrow"):
+        assert marker not in plan
+
+
+def test_jaccard_verify_broadcasts_survive_to_joins(spark):
+    """VERDICT r1 #7: the broadcast hints in jaccard_verify must reach their
+    joins (a hint placed before union/distinct is silently stripped)."""
+    from migration_pair_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = dd.minhash_signatures(docs)
+    pairs = dd.lsh_candidate_pairs(sig)
+    plan = plan_of(dd.jaccard_verify(docs, pairs), "simple")
+    # candidate-doc semi-join AND the pairs join both broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    semi = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert any("BroadcastHashJoin" in l for l in semi)
