@@ -1,9 +1,11 @@
 """Structured-Streaming operators beyond the CDC tail: event-time windowed
-aggregation with watermarked late-data handling."""
+aggregation with watermarked late-data handling, and custom stateful
+sessionization via applyInPandasWithState."""
 
+from migration_pair_spark.streaming.stateful import sessionize_stream
 from migration_pair_spark.streaming.windowed import (
     streaming_tumbling_counts,
     tumbling_counts,
 )
 
-__all__ = ["tumbling_counts", "streaming_tumbling_counts"]
+__all__ = ["tumbling_counts", "streaming_tumbling_counts", "sessionize_stream"]
