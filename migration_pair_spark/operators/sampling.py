@@ -1,0 +1,56 @@
+"""Deterministic train/val/test assignment for training-data pipelines.
+
+A split must be (a) stable under re-runs and engine swaps — the same doc
+lands in the same split forever, or training/eval sets contaminate each
+other across pipeline versions — and (b) computable row-locally, with no
+shuffle and no global state. Both fall out of hashing the key:
+``md5(salt || key)``'s first hex nibble is uniform over 0..15, so splits are
+nibble ranges (12/2/2 = 75/12.5/12.5). The nibble comes from
+``strpos('0123456789abcdef', first_char)`` — the one hex-to-int idiom that
+is literally the same expression in Spark and DuckDB, which is what makes
+the catalog oracle exact.
+
+Scale: a pure per-row projection — no shuffle, survives any data size; the
+split column is a perfect partition/bucketing key for writing the three
+sets out without a repartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+# nibble < 12 -> train (75%), < 14 -> val (12.5%), else test (12.5%)
+TRAIN_MAX, VAL_MAX = 12, 14
+
+
+def split_nibble(key: Column, salt: str = "split") -> Column:
+    """Uniform 0..15 from the first hex char of md5(salt:key)."""
+    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return (F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1).cast("int")
+
+
+def assign_split(
+    df: DataFrame, key_col: str = "doc_id", salt: str = "split"
+) -> DataFrame:
+    """Adds a ``split`` column: 'train' | 'val' | 'test' (75/12.5/12.5),
+    deterministic in (salt, key)."""
+    nib = split_nibble(F.col(key_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(nib < TRAIN_MAX, "train")
+        .when(nib < VAL_MAX, "val")
+        .otherwise("test"),
+    )
+
+
+def oracle_split_sql(key_col: str = "doc_id", salt: str = "split") -> str:
+    """DuckDB twin of assign_split's split expression."""
+    nib = (
+        f"strpos('{_HEX}', substr(md5('{salt}:' || CAST({key_col} AS VARCHAR)), 1, 1)) - 1"
+    )
+    return (
+        f"CASE WHEN {nib} < {TRAIN_MAX} THEN 'train' "
+        f"WHEN {nib} < {VAL_MAX} THEN 'val' ELSE 'test' END"
+    )

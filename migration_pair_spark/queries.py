@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 from migration_pair_spark.cdc.lww import lww_dedup
 from migration_pair_spark.functions import textstats
 from migration_pair_spark.operators import dedup as dd
-from migration_pair_spark.operators import multimodal, similarity
+from migration_pair_spark.operators import (
+    multimodal,
+    sampling,
+    similarity,
+    tfidf,
+    timeseries,
+)
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -862,3 +868,79 @@ def multimodal_meta(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return multimodal.binary_metadata(d)
+
+
+@q(
+    "range_join_click_purchase",
+    """
+    SELECT p.user_id, p.event_id AS l_event_id, p.ts AS l_ts,
+           c.event_id AS r_event_id, c.ts AS r_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 1800000
+     AND epoch_ms(c.ts) <  epoch_ms(p.ts)
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    "interval range join: every click within the 30 min before each "
+    "purchase (bucketized equi-join, no per-key cartesian — plan-pinned)",
+)
+def range_join_click_purchase(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return timeseries.range_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+
+
+@q(
+    "hypertable_rollup",
+    """
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT 'hour' AS granularity, bucket_start, event_type, n, sum_cents FROM hourly
+    UNION ALL
+    SELECT 'day' AS granularity,
+           time_bucket(INTERVAL '1 day', bucket_start) AS bucket_start,
+           event_type,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+    FROM hourly
+    GROUP BY time_bucket(INTERVAL '1 day', bucket_start), event_type
+    """,
+    "hypertable-style hierarchical rollup: hour + day grains, day folded "
+    "from hour partials (single raw scan); integer-cent measures",
+)
+def hypertable_rollup(spark, sf_dir):
+    return timeseries.hierarchical_rollup(t(spark, sf_dir, "events"))
+
+
+@q(
+    "stratified_split_docs",
+    f"""
+    SELECT lang, {sampling.oracle_split_sql("doc_id")} AS split,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2
+    """,
+    "deterministic hash-based train/val/test split (75/12.5/12.5), "
+    "counted per language stratum",
+)
+def stratified_split_docs(spark, sf_dir):
+    d = sampling.assign_split(t(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@q(
+    "tfidf_top_terms",
+    tfidf.oracle_tfidf_sql(k=3),
+    "TF-IDF characteristic terms: top-3 per doc by exact integer-ratio "
+    "inverse-document-frequency score",
+)
+def tfidf_top_terms(spark, sf_dir):
+    return tfidf.tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)

@@ -127,3 +127,40 @@ def test_jaccard_verify_broadcasts_survive_to_joins(spark):
     assert "LeftSemi" in plan
     semi = [l for l in plan.splitlines() if "LeftSemi" in l]
     assert any("BroadcastHashJoin" in l for l in semi)
+
+
+def test_range_join_is_hash_equi_join(spark):
+    """The interval join must plan as a hash equi-join on (key, bucket) with
+    the range check as a residual filter — never a per-key nested loop or
+    cartesian (the naive inequality-join plan that dies at scale)."""
+    plan = plan_of(REGISTRY["range_join_click_purchase"].fn(spark, SF), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_hierarchical_rollup_single_raw_scan(spark):
+    """Daily grain folds from the hourly partials: exactly one scan of the
+    events parquet feeds both grains (the continuous-aggregate shape)."""
+    plan = plan_of(REGISTRY["hypertable_rollup"].fn(spark, SF))
+    # both union branches read the persisted hourly partial ...
+    assert plan.count("InMemoryTableScan") >= 2
+    # ... and exactly one distinct parquet-scan NODE exists (the formatted
+    # plan prints one detail section per node: "(<id>) Scan parquet")
+    import re
+
+    scan_nodes = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scan_nodes) == 1, plan
+
+
+def test_stratified_split_no_shuffle_before_agg(spark):
+    """Split assignment is a pure per-row projection: the only exchange in
+    the plan is the final groupBy's."""
+    plan = plan_of(REGISTRY["stratified_split_docs"].fn(spark, SF), "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_tfidf_topk_window_group_limit(spark):
+    """Top-k per doc prunes via WindowGroupLimit before the window sort."""
+    plan = plan_of(REGISTRY["tfidf_top_terms"].fn(spark, SF), "simple")
+    assert "WindowGroupLimit" in plan
