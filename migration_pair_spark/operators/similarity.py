@@ -389,3 +389,183 @@ def neardup_oracle_sql(threshold: float = 0.35) -> str:
     SELECT vec_a, vec_b, round(sim, 4) AS cosine
     FROM sims WHERE sim >= {threshold}
     """
+
+
+# ------------------------------------------------------------- IVF-flat ANN
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: (centroids, assignment).
+
+    Centroids are the ``n_cells`` corpus vectors with the smallest
+    ``md5('ivf:' || id)`` — a deterministic, engine-reproducible seeding
+    (k-means++-style refinement would be Lloyd iterations, each one
+    broadcast-score + groupBy-mean pass; deliberately omitted so the cell
+    assignment stays integer-exact and the DuckDB oracle stays EXACT rather
+    than recall-bounded). Assignment: every vector joins its max-cosine
+    centroid, ties to the smaller centroid id.
+
+    Scale shape: the centroid table is O(n_cells) rows and BROADCAST; the
+    scoring "cross join" is the legitimate IVF cost O(N x n_cells) with no
+    shuffle of the corpus, and the argmax is a map-side-combined ``max_by``
+    groupBy on the vector id (rows per key = n_cells, bounded).
+    """
+    cents = (
+        emb.orderBy(F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string"))))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cent_id"), quantized(vec_col).alias("_cq")
+        )
+        .withColumn("_cn2", _int_dot(F.col("_cq"), F.col("_cq")))
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("_vid"), quantized(vec_col).alias("_vq"))
+        .withColumn("_vn2", _int_dot(F.col("_vq"), F.col("_vq")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            _exact_cosine(
+                _int_dot(F.col("_vq"), F.col("_cq")), F.col("_vn2"), F.col("_cn2")
+            ),
+        )
+    )
+    assign = scored.groupBy(F.col("_vid").alias(id_col)).agg(
+        F.max_by("cent_id", F.struct(F.col("_sim"), -F.col("cent_id"))).alias("cell")
+    )
+    return cents, assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: score each query against the centroid
+    table, probe its ``nprobe`` best cells, exact-cosine-rank only the
+    vectors assigned to those cells.
+
+    Scale shape: candidate generation is a hash equi-join on ``cell`` —
+    the inverted-list probe — so per-query work is O(nprobe/n_cells) of the
+    corpus, and the corpus can be PARTITIONED BY cell on disk so a probe
+    prunes file listings, not just rows. Complements ann_lsh_topk (same
+    verify; different, data-adaptive bucketing)."""
+    cents, assign = ivf_assign(corpus, n_cells, id_col, vec_col)
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), quantized(vec_col).alias("_qq"))
+        .withColumn("_qn2", _int_dot(F.col("_qq"), F.col("_qq")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_sim",
+            _exact_cosine(
+                _int_dot(F.col("_qq"), F.col("_cq")), F.col("_qn2"), F.col("_cn2")
+            ),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_sim").desc(), F.col("cent_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        assign.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qs = _quantized_side(queries, "query_id", id_col, vec_col)
+    cs = _quantized_side(corpus, "neighbor_id", id_col, vec_col)
+    sim = _exact_cosine(
+        _int_dot(F.col("_q_query_id"), F.col("_q_neighbor_id")),
+        F.col("_n2_query_id"),
+        F.col("_n2_neighbor_id"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(F.broadcast(qs), "query_id")
+        .join(cs, "neighbor_id")
+        .withColumn("_sim", sim)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_sim"), round_to).alias("cosine"),
+        )
+    )
+
+
+def ivf_oracle_sql(
+    k: int = 3, n_cells: int = 8, nprobe: int = 3, query_max_id: int = 5
+) -> str:
+    """Exact DuckDB twin of :func:`ivf_topk`: same md5-seeded centroids, same
+    integer cosine, same (sim DESC, id ASC) tie-breaks at every rank step."""
+    return f"""
+    WITH {_QUANT_EX},
+    cents AS (
+        SELECT vec_id AS cent_id FROM embeddings
+        ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)) LIMIT {n_cells}
+    ),
+    cdots AS (
+        SELECT v.vec_id, c.cent_id, sum(v.q * ce.q) AS dot
+        FROM ex v JOIN cents c ON TRUE
+                  JOIN ex ce ON ce.vec_id = c.cent_id AND ce.i = v.i
+        GROUP BY v.vec_id, c.cent_id
+    ),
+    csims AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(nv.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS sim
+        FROM cdots d JOIN norms nv ON nv.vec_id = d.vec_id
+                     JOIN norms nc ON nc.vec_id = d.cent_id
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cent_id ASC) AS rn
+            FROM csims) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sim DESC, cent_id ASC) AS rn
+            FROM csims WHERE vec_id < {query_max_id}) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    ),
+    dots AS (
+        SELECT cand.query_id, cand.neighbor_id, sum(a.q * b.q) AS dot
+        FROM cand
+        JOIN ex a ON a.vec_id = cand.query_id
+        JOIN ex b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+        GROUP BY cand.query_id, cand.neighbor_id
+    ),
+    sims AS (
+        SELECT query_id, neighbor_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS sim
+        FROM dots JOIN norms na ON na.vec_id = query_id
+                  JOIN norms nb ON nb.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= {k}
+    """

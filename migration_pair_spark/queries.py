@@ -944,3 +944,14 @@ def stratified_split_docs(spark, sf_dir):
 )
 def tfidf_top_terms(spark, sf_dir):
     return tfidf.tfidf_top_terms(t(spark, sf_dir, "documents"), k=3)
+
+
+@q(
+    "embedding_ann_ivf",
+    similarity.ivf_oracle_sql(k=3, n_cells=8, nprobe=3, query_max_id=5),
+    "IVF-flat approximate nearest neighbors: md5-seeded coarse quantizer, "
+    "nprobe inverted-list probe, exact integer-cosine rank (exact oracle)",
+)
+def embedding_ann_ivf(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3)

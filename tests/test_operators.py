@@ -181,3 +181,40 @@ def test_multimodal_stubs_raise_clearly():
         decode_image(b"\x89PNG...")
     with pytest.raises(NotImplementedError, match="frame sampling requires"):
         frame_sample(b"\x00\x00\x00 ftypmp42")
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF-flat with nprobe=3 of 8 cells must recover most true top-3
+    neighbors; with nprobe=n_cells it degenerates to exact brute force
+    (recall 1.0) — the classic IVF quality/probe-cost dial."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=3).collect()
+    }
+    got3 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, k=3, n_cells=8, nprobe=3).collect()
+    }
+    assert len(want & got3) / len(want) >= 0.5
+    got_all = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, k=3, n_cells=8, nprobe=8).collect()
+    }
+    assert got_all == want
+
+
+def test_ivf_assignment_covers_corpus_once(spark):
+    from migration_pair_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, assign = ivf_assign(emb, n_cells=8)
+    n = emb.count()
+    rows = assign.collect()
+    assert len(rows) == n  # every vector in exactly one cell
+    cent_ids = {r.cent_id for r in cents.collect()}
+    assert {r.cell for r in rows} <= cent_ids
+    # a centroid is its own nearest centroid (cosine 1.0)
+    own = {r.vec_id: r.cell for r in rows}
+    assert all(own[c] == c for c in cent_ids)

@@ -164,3 +164,15 @@ def test_tfidf_topk_window_group_limit(spark):
     """Top-k per doc prunes via WindowGroupLimit before the window sort."""
     plan = plan_of(REGISTRY["tfidf_top_terms"].fn(spark, SF), "simple")
     assert "WindowGroupLimit" in plan
+
+
+def test_ivf_probe_is_equi_join_on_cell(spark):
+    """The inverted-list probe joins candidates by cell equality (broadcast
+    of the tiny probe table); only the centroid scoring is a bounded
+    O(N x n_cells) broadcast nested loop — never a corpus-corpus cartesian."""
+    plan = plan_of(REGISTRY["embedding_ann_ivf"].fn(spark, SF), "simple")
+    assert "CartesianProduct" not in plan
+    # candidate generation: broadcast hash join (probes side is broadcast)
+    assert "BroadcastHashJoin" in plan
+    # centroid scoring: BNLJ appears, but only against the n_cells side
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
