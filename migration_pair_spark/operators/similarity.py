@@ -38,6 +38,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -133,6 +136,42 @@ def _int_dot(a, b) -> F.Column:
     )
 
 
+def _srp_sig_udf(weights: list):
+    """Arrow-batched signature kernel: all tables' bucket strings for a batch
+    of QUANTIZED (int64) vectors in ONE numpy matmul.
+
+    Why a UDF here when 'UDFs are the slow path': the signature is dense
+    linear algebra — n_tables*n_planes signed sums per row. The pure-Catalyst
+    formulation (an ``aggregate`` fold per plane over a 64-literal array) is
+    interpreted per element: measured 10.1 s for 2,000 vectors x 32 planes at
+    sf0.1, vs ~0.1 s for the equivalent (B,64)@(64,32) int64 matmul. The math
+    is IDENTICAL — integer sums, order-independent — so the exact DuckDB
+    oracle is untouched; quantization stays in Catalyst (``quantized``), so
+    no float rounding happens in Python at all."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    n_tables, n_planes = len(weights), len(weights[0])
+    # (dim, n_tables*n_planes) int64 plane matrix, planes of a table adjacent
+    w_mat = np.array(weights, dtype=np.int64).reshape(n_tables * n_planes, -1).T
+    # 4-bit (or n_planes-bit) bucket-string lookup table
+    lut = np.array(
+        [format(v, f"0{n_planes}b") for v in range(1 << n_planes)], dtype=object
+    )
+    pow2 = 1 << np.arange(n_planes - 1, -1, -1, dtype=np.int64)
+
+    @pandas_udf("array<string>")
+    def sig(q: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.int64) for v in q])
+        bits = (mat @ w_mat) >= 0  # (B, n_tables*n_planes)
+        codes = bits.reshape(len(q), n_tables, n_planes).astype(np.int64) @ pow2
+        out = lut[codes]  # (B, n_tables) of bucket strings
+        return pd.Series(list(out))
+
+    return sig
+
+
 def _srp_bucket_rows(
     df: DataFrame,
     out_id: str,
@@ -142,31 +181,12 @@ def _srp_bucket_rows(
 ) -> DataFrame:
     """(id, vec) -> exploded (out_id, _t, _bucket): one row per LSH table,
     bucket = the table's bit-string signature over the quantized vector.
-    Pure Catalyst — the +-1 weights are literal arrays, the dots are integer
-    ``aggregate`` folds, no Python anywhere."""
-    qv = quantized(vec_col)
-    buckets = [
-        F.concat(
-            *[
-                F.when(
-                    _int_dot(
-                        F.col("_q"),
-                        F.array(*[F.lit(w).cast("long") for w in plane]),
-                    )
-                    >= 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for plane in table
-            ]
-        )
-        for table in weights
-    ]
+    Quantization is Catalyst (exact, shared with the verify stage); the
+    signed sums run as one Arrow-batched integer matmul (see _srp_sig_udf)."""
+    sig = _srp_sig_udf(weights)
     return (
-        df.select(F.col(id_col).alias(out_id), qv.alias("_q"))
-        .select(
-            out_id,
-            F.posexplode(F.array(*buckets)).alias("_t", "_bucket"),
-        )
+        df.select(F.col(id_col).alias(out_id), quantized(vec_col).alias("_q"))
+        .select(out_id, F.posexplode(sig(F.col("_q"))).alias("_t", "_bucket"))
     )
 
 
