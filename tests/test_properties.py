@@ -88,3 +88,70 @@ def test_extract_idempotent_on_own_output(html):
     out = extract_text(html)
     if "&" not in out and "<" not in out:
         assert extract_text(out.encode("utf-8")) == out
+
+
+# -- bucketized range join vs naive model ------------------------------------
+
+range_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),        # user (few keys -> co-key pairs likely)
+        st.integers(0, 7200),     # ts offset seconds (spans several buckets)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lefts=range_events, rights=range_events)
+def test_range_join_matches_naive_model(spark, lefts, rights):
+    """The bucketized equi-join must emit EXACTLY the pairs the quadratic
+    definition emits — for any placement of events across bucket seams."""
+    from migration_pair_spark.operators.timeseries import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def df(rows):
+        return spark.createDataFrame(
+            [
+                (i, t0 + dt.timedelta(seconds=s), u)
+                for i, (u, s) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long",
+        )
+
+    window_ms = 1800 * 1000
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in range_join(df(lefts), df(rights), window_ms=window_ms).collect()
+    }
+    want = {
+        (lu, li, ri)
+        for li, (lu, ls) in enumerate(lefts)
+        for ri, (ru, rs) in enumerate(rights)
+        if lu == ru and ls - 1800 <= rs < ls
+    }
+    assert got == want
+
+
+# -- stratified split: total, disjoint, deterministic -------------------------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ids=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=30, unique=True))
+def test_assign_split_total_and_stable(spark, ids):
+    from migration_pair_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = assign_split(df).collect()
+    assert len(rows) == len(ids)                      # total: every row assigned
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    again = {(r.doc_id, r.split) for r in assign_split(df).collect()}
+    assert {(r.doc_id, r.split) for r in rows} == again  # deterministic
