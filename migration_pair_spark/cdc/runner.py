@@ -94,6 +94,12 @@ class CdcPipeline:
     # files, compact the offending buckets right after the commit (0 = never;
     # bounds read amplification of a long-running MOR stream)
     auto_compact_files_per_bucket: int = 0
+    # when set, each committed batch also materializes its snapshot-diff
+    # change feed (insert/delete/update_before/update_after rows) under this
+    # directory — idempotent by version pair, so a crash between the table
+    # commit and the feed write rebuilds the identical feed on replay
+    # (cdc/changelog.py)
+    changelog_dir: str | None = None
 
     def ensure_table(self, spark: SparkSession) -> LakeTable:
         if LakeTable.exists(self.table_path):
@@ -151,17 +157,17 @@ class CdcPipeline:
                     chunk = events.filter(
                         (F.col("change_lsn") >= lo) & (F.col("change_lsn") <= hi)
                     )
-                    lineages.append(
-                        apply_cdc_batch(
-                            table,
-                            chunk,
-                            batch_id=batch_id * 10_000 + part,
-                            salt_buckets=self.salt_buckets,
-                            epoch_registry=self.epoch_registry,
-                            extract_text=self.extract_text,
-                            write_mode=self.write_mode,
-                        )
+                    sub = apply_cdc_batch(
+                        table,
+                        chunk,
+                        batch_id=batch_id * 10_000 + part,
+                        salt_buckets=self.salt_buckets,
+                        epoch_registry=self.epoch_registry,
+                        extract_text=self.extract_text,
+                        write_mode=self.write_mode,
                     )
+                    self._maybe_changelog(table, sub)
+                    lineages.append(sub)
                     lo, part = hi + 1, part + 1
                 applied = [l for l in lineages if not l["skipped"]]
                 # MOR maintenance must run here too: the split path IS the
@@ -195,8 +201,21 @@ class CdcPipeline:
             extract_text=self.extract_text,
             write_mode=self.write_mode,
         )
+        self._maybe_changelog(table, lineage)
         self._maybe_auto_compact(table, lineage)
         return lineage
+
+    def _maybe_changelog(self, table: LakeTable, lineage: dict) -> None:
+        if self.changelog_dir is None or lineage.get("skipped"):
+            return
+        from migration_pair_spark.cdc.changelog import materialize_changelog
+
+        materialize_changelog(
+            table,
+            self.changelog_dir,
+            lineage["table_version_before"],
+            lineage["snapshot_id"],
+        )
 
     def _maybe_auto_compact(self, table: LakeTable, lineage: dict) -> None:
         """MOR maintenance: fold buckets whose delta-file count crossed the

@@ -294,6 +294,36 @@ class LakeTable:
             )
         return df
 
+    def manifest_at(self, version: int) -> dict:
+        """The committed manifest of an older snapshot (manifests are
+        immutable and retained — this IS the time-travel metadata)."""
+        p = os.path.join(self.path, "manifests", f"v{version:08d}.json")
+        with open(p) as f:
+            return json.load(f)
+
+    def at_version(self, version: int, schema_from: "dict | None" = None) -> "LakeTable":
+        """Time travel: a read-only view of the table at ``version``.
+
+        ``schema_from``: optionally borrow a NEWER manifest's schema registry
+        and rename history while keeping ``version``'s file lists — that
+        reads the old snapshot's rows RECONCILED ONTO the newer schema
+        (nulls for later-added columns, later renames applied), which is what
+        a cross-version diff needs to compare rows by name. Iceberg analog:
+        reading an old snapshot with the table's current schema.
+        """
+        m = self.manifest_at(version)
+        if schema_from is not None:
+            m = {
+                **schema_from,
+                "buckets": m["buckets"],
+                "mor": m.get("mor", False),
+                "version": m["version"],
+                "properties": m["properties"],
+            }
+        snap = LakeTable(self.spark, self.path)
+        snap._manifest = m
+        return snap
+
     def read_buckets(self, bucket_ids: list[int], resolve: bool = False) -> DataFrame:
         """Scan ONLY the named buckets (with system columns + tombstones) —
         the bucket-pruned side of the MERGE. ``resolve=True`` applies

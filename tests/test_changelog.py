@@ -1,0 +1,195 @@
+"""Snapshot-diff changelog: typed change rows between any two snapshots,
+consumer-side replay equivalence (state(v_from) + feed == state(v_to)),
+metadata-only bucket pruning, idempotent materialization, and MOR parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from migration_pair_spark.cdc.changelog import (
+    apply_changes,
+    changed_buckets,
+    materialize_changelog,
+    snapshot_diff,
+)
+from migration_pair_spark.cdc.runner import CHANGE_STREAM_SCHEMA, CdcPipeline
+from migration_pair_spark.lakehouse.table import LakeTable
+
+T0 = dt.datetime(2024, 3, 1)
+
+
+def _events(spark, rows):
+    """rows: (lsn, op, url, ts_offset_min, html)"""
+    data = [
+        (
+            lsn,
+            op,
+            url,
+            T0 + dt.timedelta(minutes=off),
+            html.encode() if html is not None else None,
+            "en",
+            None,
+            200,
+            1,
+        )
+        for lsn, op, url, off, html in rows
+    ]
+    return spark.createDataFrame(data, CHANGE_STREAM_SCHEMA)
+
+
+BATCH1 = [
+    (1, "insert", "u/a", 0, "<p>a1</p>"),
+    (2, "insert", "u/b", 0, "<p>b1</p>"),
+    (3, "insert", "u/c", 0, "<p>c1</p>"),
+]
+BATCH2 = [
+    (4, "update", "u/a", 10, "<p>a2</p>"),   # update a
+    (5, "delete", "u/b", 10, None),           # delete b
+    (6, "insert", "u/d", 10, "<p>d1</p>"),   # insert d; c untouched
+]
+
+
+@pytest.fixture(params=["cow", "mor"])
+def applied(request, spark, tmp_path):
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / f"t-{request.param}"),
+        n_buckets=8,
+        salt_buckets=8,
+        write_mode=request.param,
+    )
+    l1 = pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    l2 = pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    table = LakeTable.load(spark, pipe.table_path)
+    return table, l1, l2
+
+
+def _typed(rows):
+    return {(r.change_type, r.url, r.text) for r in rows}
+
+
+def test_diff_emits_typed_changes(applied):
+    table, l1, l2 = applied
+    feed = snapshot_diff(table, l1["snapshot_id"], l2["snapshot_id"]).collect()
+    assert _typed(feed) == {
+        ("update_before", "u/a", "a1"),
+        ("update_after", "u/a", "a2"),
+        ("delete", "u/b", "b1"),
+        ("insert", "u/d", "d1"),
+        # u/c untouched -> no row, even though COW rewrote its bucket file
+    }
+
+
+def test_diff_from_empty_is_all_inserts(applied):
+    table, l1, _ = applied
+    feed = snapshot_diff(table, l1["table_version_before"], l1["snapshot_id"])
+    rows = feed.collect()
+    assert {r.change_type for r in rows} == {"insert"}
+    assert {r.url for r in rows} == {"u/a", "u/b", "u/c"}
+
+
+def test_consumer_replay_reconverges(applied, spark):
+    """state(v1) + feed(v1 -> v2) == state(v2) — the consumer-side twin of
+    the engine's replay-equivalence invariant."""
+    table, l1, l2 = applied
+    v1, v2 = l1["snapshot_id"], l2["snapshot_id"]
+    before = table.at_version(v1, schema_from=table.manifest_at(v2)).read()
+    feed = snapshot_diff(table, v1, v2)
+    rebuilt = apply_changes(before, feed, key="url")
+    want = {
+        tuple(r) for r in table.at_version(v2).read().collect()
+    }
+    got = {tuple(r) for r in rebuilt.collect()}
+    assert got == want
+
+
+def test_cross_version_diff_is_net(applied):
+    """v0 -> v2 collapses insert+update to one insert with the final image
+    and drops the inserted-then-deleted key entirely."""
+    table, l1, l2 = applied
+    feed = snapshot_diff(table, l1["table_version_before"], l2["snapshot_id"])
+    assert _typed(feed.collect()) == {
+        ("insert", "u/a", "a2"),
+        ("insert", "u/c", "c1"),
+        ("insert", "u/d", "d1"),
+        # u/b inserted then deleted: no net change
+    }
+
+
+def test_changed_buckets_prunes_by_metadata(applied):
+    table, l1, l2 = applied
+    m1, m2 = table.manifest_at(l1["snapshot_id"]), table.manifest_at(l2["snapshot_id"])
+    touched = set(changed_buckets(m1, m2))
+    # the batch touched the buckets of a, b, d (c's bucket only if it shares)
+    expr = table.bucket_expr
+    key_buckets = {
+        r._b
+        for r in table.spark.createDataFrame(
+            [("u/a",), ("u/b",), ("u/d",)], "url string"
+        )
+        .select(expr().alias("_b"))
+        .collect()
+    }
+    assert key_buckets <= touched
+    assert len(touched) <= 8  # never more than the table has
+
+
+def test_materialize_idempotent(applied, tmp_path, spark):
+    table, l1, l2 = applied
+    out = str(tmp_path / "feed")
+    d = materialize_changelog(table, out, l1["snapshot_id"], l2["snapshot_id"])
+    assert d is not None and os.path.exists(os.path.join(d, "_DONE"))
+    again = materialize_changelog(table, out, l1["snapshot_id"], l2["snapshot_id"])
+    assert again is None  # second call short-circuits
+    rows = spark.read.parquet(d).collect()
+    assert _typed(rows) == _typed(
+        snapshot_diff(table, l1["snapshot_id"], l2["snapshot_id"]).collect()
+    )
+
+
+def test_pipeline_emits_feed_per_batch(spark, tmp_path):
+    out = str(tmp_path / "feed")
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / "t"),
+        n_buckets=8,
+        salt_buckets=8,
+        changelog_dir=out,
+    )
+    pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    dirs = sorted(os.listdir(out))
+    assert len(dirs) == 2
+    feed = spark.read.parquet(os.path.join(out, "*"))
+    assert feed.filter(F.col("change_type") == "delete").count() == 1
+    # duplicate delivery: reapplying batch 2 is gated -> no third feed dir
+    pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=2)
+    assert sorted(os.listdir(out)) == dirs
+
+
+def test_diff_across_schema_evolution(spark, tmp_path):
+    """A feed spanning an epoch boundary reads the old snapshot reconciled
+    onto the new schema: before-images carry null for later-added columns and
+    the renamed column under its NEW name."""
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=8, salt_buckets=8)
+    pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    # epoch-3 batch: rename lang->language + widen fetch_status (registry)
+    ev3 = [
+        (10, "update", "u/a", 30, "<p>a3</p>"),
+    ]
+    data = [
+        (lsn, op, url, T0 + dt.timedelta(minutes=off), h.encode(), None, "en", 200, 3)
+        for lsn, op, url, off, h in ev3
+    ]
+    l1 = LakeTable.load(spark, pipe.table_path).version
+    lin = pipe.apply_batch(spark, spark.createDataFrame(data, CHANGE_STREAM_SCHEMA), batch_id=1)
+    table = LakeTable.load(spark, pipe.table_path)
+    feed = snapshot_diff(table, l1, lin["snapshot_id"]).collect()
+    by_type = {r.change_type: r for r in feed}
+    assert set(by_type) == {"update_before", "update_after"}
+    # the before-image exposes the renamed column under the NEW name
+    assert by_type["update_before"].language == "en"
+    assert by_type["update_before"].text == "a1"
+    assert by_type["update_after"].text == "a3"
