@@ -7,6 +7,7 @@ to Spark-first subcommands:
     backfill          events dir -> table, one batch (reference EndToEnd)
     cdc-run           events dir -> table, streaming tail (north rule)
     compact           rewrite bucket files (maintenance)
+    curate            documents parquet -> deduped/filtered/split corpus
     package           build the --py-files zip for spark-submit
 
 Run as `python -m migration_pair_spark <cmd>` locally, or on a cluster as
@@ -51,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
 
     de = sub.add_parser("describe")
     de.add_argument("--table-path", required=True)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--docs", required=True, help="input documents parquet")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--min-quality", type=float, default=0.0)
+    cu.add_argument("--langs", default=None, help="comma-separated keep-list")
+    cu.add_argument("--neardup-threshold", type=float, default=0.5)
 
     sub.add_parser("package")
 
@@ -116,6 +124,18 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable.load(spark, args.table_path)
         version = table.compact()
         print(json.dumps({"snapshot": version}))
+    elif args.cmd == "curate":
+        from migration_pair_spark.operators.curate import curate_corpus, write_curated
+
+        docs = spark.read.parquet(args.docs)
+        curated = curate_corpus(
+            docs,
+            min_quality=args.min_quality,
+            langs=tuple(args.langs.split(",")) if args.langs else None,
+            neardup_threshold=args.neardup_threshold,
+        )
+        stats = write_curated(curated, args.out)
+        print(json.dumps({"out": args.out, "splits": stats}))
     elif args.cmd == "describe":
         from migration_pair_spark.lakehouse.table import LakeTable
 

@@ -1,0 +1,99 @@
+"""End-to-end corpus curation: the composition a training-data user actually
+runs — exact dedup, near-dup cluster dedup, quality/language gates, token
+accounting, and the deterministic train/val/test split, in one DataFrame
+pipeline (CLI: ``python -m migration_pair_spark curate``).
+
+Stage order is the cost order — each stage shrinks the corpus the next one
+scans:
+
+1. **exact dedup** (md5 groupBy, one shuffle) drops byte-identical copies —
+   on web crawls typically the largest single reduction;
+2. **near-dup dedup** (MinHash -> banded LSH -> exact-Jaccard verify ->
+   connected components, operators/dedup.py) keeps one doc per duplicate
+   cluster (min id); all joins are candidate- or edge-sized, never corpus²;
+3. **quality + language gates**: pure per-row Catalyst expressions
+   (functions/textstats.py) — no shuffle;
+4. **annotate + split**: token counts and the md5-nibble split
+   (operators/sampling.py) — per-row, no shuffle; the split column is the
+   write partition key, so the three sets land in separate directories
+   without a repartition.
+
+Every stage is the already-oracled operator — this module only composes
+them; correctness of the composition is pinned in tests/test_curate.py by
+recomputing the expected keep-set in pandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from migration_pair_spark.functions import textstats
+from migration_pair_spark.operators import dedup as dd
+from migration_pair_spark.operators.sampling import assign_split
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.0,
+    langs: tuple[str, ...] | None = None,
+    neardup_threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_salt: str = "split",
+) -> DataFrame:
+    """The curated corpus: one row per kept document with
+    (original columns, quality, pred_lang, n_tokens, split).
+
+    Drops: exact duplicates (keep min id per identical text), near-dup
+    cluster non-keepers (exact Jaccard >= ``neardup_threshold``), documents
+    below ``min_quality``, and documents whose predicted language is outside
+    ``langs`` (None = keep all languages).
+    """
+    # 1. exact dedup — semi-join the corpus down to the per-text keepers
+    keepers = dd.exact_dedup(docs, text_col, id_col).select(
+        F.col("keeper_doc_id").alias(id_col)
+    )
+    # (keepers is an aggregate — AQE broadcasts the semi-join side when it
+    # fits; at web scale it stays a shuffled semi-join, which is correct)
+    docs1 = docs.join(keepers, id_col, "left_semi")
+
+    # 2. near-dup cluster dedup over the exact-deduped corpus
+    sh = dd.shingles(docs1, text_col, id_col).persist()
+    sig = dd.minhash_signatures(docs1, shingles_df=sh)
+    cand = dd.lsh_candidate_pairs(sig)
+    pairs = dd.jaccard_verify(
+        docs1, cand, text_col, id_col, threshold=neardup_threshold, shingles_df=sh
+    )
+    clusters = dd.dedup_clusters(docs1, pairs, id_col)
+    keep2 = clusters.filter(F.col("keeper_doc_id") == F.col(id_col)).select(id_col)
+    docs2 = docs1.join(keep2, id_col, "left_semi")
+
+    # 3+4. per-row gates and annotations (no shuffle)
+    out = (
+        docs2.withColumn("quality", textstats.quality_score(F.col(text_col)))
+        .withColumn("pred_lang", textstats.lang_id(F.col(text_col)))
+        .withColumn("n_tokens", textstats.token_count(F.col(text_col)).cast("long"))
+        .filter(F.col("quality") >= F.lit(min_quality))
+    )
+    if langs is not None:
+        out = out.filter(F.col("pred_lang").isin(*langs))
+    return assign_split(out, key_col=id_col, salt=split_salt)
+
+
+def write_curated(df: DataFrame, out_dir: str) -> dict:
+    """Write the curated corpus partitioned by split (train/val/test land in
+    separate directories — no repartition: the dynamic-partition writer
+    routes rows per task). Returns per-split counts + token totals."""
+    df.write.partitionBy("split").parquet(out_dir, mode="errorifexists")
+    spark = df.sparkSession
+    stats = (
+        spark.read.parquet(out_dir)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .collect()
+    )
+    return {
+        r["split"]: {"n_docs": int(r["n_docs"]), "n_tokens": int(r["n_tokens"] or 0)}
+        for r in stats
+    }

@@ -1,0 +1,115 @@
+"""Corpus curation composition: the keep-set must equal an independent
+pandas recomputation (exact dedup -> near-dup clusters -> gates), and the
+CLI subcommand must write split-partitioned output with honest stats."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from migration_pair_spark.operators.curate import curate_corpus, write_curated
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, BASE, "en"),
+        (2, BASE, "en"),                        # exact dup of 1 -> dropped
+        (3, BASE.replace("dog", "hound"), "en"),  # near-dup of 1 -> dropped
+        (4, "completely different text about databases and storage engines "
+            "with enough words to pass any sane quality gate easily", "en"),
+        (5, "x" * 40, "en"),                     # one giant token, low quality
+        (6, BASE + " bonjour le monde cette phrase est en francais vraiment", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_curate_keep_set_matches_model(spark, docs):
+    out = curate_corpus(docs, min_quality=0.2, neardup_threshold=0.5)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    # 1 keeps (min id of exact+near cluster {1,2,3}); 4 keeps; 5 fails
+    # quality; 6 is a near-dup CANDIDATE of 1 but below 0.5 jaccard? ->
+    # recompute instead of guessing: the model below is the ground truth.
+    import pandas as pd
+
+    pdf = docs.toPandas()
+    # exact dedup
+    pdf = pdf.loc[pdf.groupby(pdf["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()))["doc_id"].transform("min") == pdf["doc_id"]]
+
+    def sh(t):
+        return {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
+
+    ids = sorted(pdf["doc_id"])
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    # all-pairs exact jaccard >= 0.5 -> union-find min label
+    keeper = {i: i for i in ids}
+
+    def find(i):
+        while keeper[i] != i:
+            i = keeper[i]
+        return i
+
+    for a in ids:
+        for b in ids:
+            if a < b:
+                sa, sb = sh(texts[a]), sh(texts[b])
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.5:
+                    ra, rb = find(a), find(b)
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    keeper[hi] = lo
+    model_kept = {i for i in ids if find(i) == i}
+    got_rows = {r.doc_id: r for r in out.collect()}
+    # model also applies the quality gate the engine applied
+    from migration_pair_spark.functions.textstats import quality_score
+
+    q = {
+        r.doc_id: r.q
+        for r in docs.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    }
+    model_kept = {i for i in model_kept if q[i] >= 0.2}
+    assert set(got_rows) == model_kept
+    # annotations present and typed
+    any_row = next(iter(got_rows.values()))
+    assert any_row.split in ("train", "val", "test")
+    assert any_row.n_tokens > 0 and 0.0 <= any_row.quality <= 1.0
+
+
+def test_curate_lang_gate(spark, docs):
+    out = curate_corpus(docs, langs=("en",))
+    assert {r.pred_lang for r in out.collect()} == {"en"}
+
+
+def test_write_curated_partitions_and_stats(spark, docs, tmp_path):
+    out_dir = str(tmp_path / "corpus")
+    curated = curate_corpus(docs, min_quality=0.2)
+    stats = write_curated(curated, out_dir)
+    # split directories exist and stats add up to the curated count
+    n = curated.count()
+    assert sum(s["n_docs"] for s in stats.values()) == n
+    on_disk = spark.read.parquet(out_dir)
+    assert on_disk.count() == n
+    assert set(stats) <= {"train", "val", "test"}
+
+
+def test_curate_cli_roundtrip(spark, docs, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out_dir = str(tmp_path / "out")
+    from migration_pair_spark.__main__ import main
+
+    rc = main(["curate", "--docs", src, "--out", out_dir, "--min-quality", "0.2"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["out"] == out_dir
+    assert sum(s["n_docs"] for s in payload["splits"].values()) >= 1
+    assert os.path.isdir(out_dir)
