@@ -8,11 +8,14 @@ scans:
 
 1. **exact dedup** (md5 groupBy, one shuffle) drops byte-identical copies —
    on web crawls typically the largest single reduction;
-2. **near-dup dedup** (MinHash -> banded LSH -> exact-Jaccard verify ->
+2. **quality + language gates**: pure per-row Catalyst expressions
+   (functions/textstats.py) — no shuffle, and they run BEFORE the expensive
+   near-dup stage so rejected documents never pay for shingling (keeper
+   selection therefore happens among gate-passing documents — the keeper of
+   a cluster whose min-id member failed the gate is the surviving min id);
+3. **near-dup dedup** (MinHash -> banded LSH -> exact-Jaccard verify ->
    connected components, operators/dedup.py) keeps one doc per duplicate
    cluster (min id); all joins are candidate- or edge-sized, never corpus²;
-3. **quality + language gates**: pure per-row Catalyst expressions
-   (functions/textstats.py) — no shuffle;
 4. **annotate + split**: token counts and the md5-nibble split
    (operators/sampling.py) — per-row, no shuffle; the split column is the
    write partition key, so the three sets land in separate directories
@@ -58,26 +61,37 @@ def curate_corpus(
     # fits; at web scale it stays a shuffled semi-join, which is correct)
     docs1 = docs.join(keepers, id_col, "left_semi")
 
-    # 2. near-dup cluster dedup over the exact-deduped corpus
-    sh = dd.shingles(docs1, text_col, id_col).persist()
-    sig = dd.minhash_signatures(docs1, shingles_df=sh)
-    cand = dd.lsh_candidate_pairs(sig)
-    pairs = dd.jaccard_verify(
-        docs1, cand, text_col, id_col, threshold=neardup_threshold, shingles_df=sh
-    )
-    clusters = dd.dedup_clusters(docs1, pairs, id_col)
-    keep2 = clusters.filter(F.col("keeper_doc_id") == F.col(id_col)).select(id_col)
-    docs2 = docs1.join(keep2, id_col, "left_semi")
-
-    # 3+4. per-row gates and annotations (no shuffle)
-    out = (
-        docs2.withColumn("quality", textstats.quality_score(F.col(text_col)))
+    # 2. per-row gates FIRST: rejected docs never pay for shingling
+    gated = (
+        docs1.withColumn("quality", textstats.quality_score(F.col(text_col)))
         .withColumn("pred_lang", textstats.lang_id(F.col(text_col)))
-        .withColumn("n_tokens", textstats.token_count(F.col(text_col)).cast("long"))
         .filter(F.col("quality") >= F.lit(min_quality))
     )
     if langs is not None:
-        out = out.filter(F.col("pred_lang").isin(*langs))
+        gated = gated.filter(F.col("pred_lang").isin(*langs))
+
+    # 3. near-dup cluster dedup over the gated corpus. dedup_clusters runs
+    # eagerly (per-round convergence counts), so the shingle cache is fully
+    # consumed by the time it returns — unpersist before handing back the
+    # (lazy) result instead of leaking the largest intermediate for the
+    # session lifetime.
+    sh = dd.shingles(gated, text_col, id_col).persist()
+    try:
+        sig = dd.minhash_signatures(gated, text_col, id_col, shingles_df=sh)
+        cand = dd.lsh_candidate_pairs(sig, id_col)
+        pairs = dd.jaccard_verify(
+            gated, cand, text_col, id_col, threshold=neardup_threshold, shingles_df=sh
+        )
+        clusters = dd.dedup_clusters(gated, pairs, id_col)
+    finally:
+        sh.unpersist()
+    keep2 = clusters.filter(F.col("keeper_doc_id") == F.col(id_col)).select(id_col)
+    docs2 = gated.join(keep2, id_col, "left_semi")
+
+    # 4. annotations + split (no shuffle)
+    out = docs2.withColumn(
+        "n_tokens", textstats.token_count(F.col(text_col)).cast("long")
+    )
     return assign_split(out, key_col=id_col, salt=split_salt)
 
 

@@ -151,23 +151,37 @@ def _srp_sig_udf(weights: list):
     from pyspark.sql.pandas.functions import pandas_udf
 
     n_tables, n_planes = len(weights), len(weights[0])
+    dim = len(weights[0][0])
     # (dim, n_tables*n_planes) int64 plane matrix, planes of a table adjacent
     w_mat = np.array(weights, dtype=np.int64).reshape(n_tables * n_planes, -1).T
-    # 4-bit (or n_planes-bit) bucket-string lookup table
-    lut = np.array(
-        [format(v, f"0{n_planes}b") for v in range(1 << n_planes)], dtype=object
-    )
     pow2 = 1 << np.arange(n_planes - 1, -1, -1, dtype=np.int64)
 
     @pandas_udf("array<string>")
     def sig(q: pd.Series) -> pd.Series:
         if len(q) == 0:
             return pd.Series([], dtype=object)
-        mat = np.stack([np.asarray(v, dtype=np.int64) for v in q])
+        # Degraded inputs mirror the SQL oracle exactly: a NULL vector has no
+        # unnest rows -> no signature (return null: posexplode emits nothing);
+        # a short vector contributes only its present dims (zero-pad), extra
+        # dims beyond the plane matrix contribute nothing (truncate).
+        mat = np.zeros((len(q), dim), dtype=np.int64)
+        valid = np.ones(len(q), dtype=bool)
+        for i, v in enumerate(q):
+            if v is None:
+                valid[i] = False
+                continue
+            a = np.asarray(v, dtype=np.int64)[:dim]
+            mat[i, : len(a)] = a
         bits = (mat @ w_mat) >= 0  # (B, n_tables*n_planes)
         codes = bits.reshape(len(q), n_tables, n_planes).astype(np.int64) @ pow2
-        out = lut[codes]  # (B, n_tables) of bucket strings
-        return pd.Series(list(out))
+        # bucket strings via a lookup over the batch's DISTINCT codes — O(unique),
+        # never the 2**n_planes table a literal LUT would need
+        fmt = {c: format(c, f"0{n_planes}b") for c in np.unique(codes)}
+        out = [
+            [fmt[c] for c in row] if ok else None
+            for row, ok in zip(codes.tolist(), valid.tolist())
+        ]
+        return pd.Series(out)
 
     return sig
 
@@ -442,6 +456,12 @@ def ivf_assign(
             F.col(id_col).alias("cent_id"), quantized(vec_col).alias("_cq")
         )
         .withColumn("_cn2", _int_dot(F.col("_cq"), F.col("_cq")))
+        # n_cells rows, but its lineage is a full-corpus ordered limit —
+        # referenced by assignment AND query probing, so materialize once
+        # (localCheckpoint: eager, context-cleaner-reclaimed). The CORPUS
+        # scans (assign + verify) deliberately stay uncached: pinning 10^9
+        # quantized vectors costs more than rescanning parquet.
+        .localCheckpoint()
     )
     scored = (
         emb.select(F.col(id_col).alias("_vid"), quantized(vec_col).alias("_vq"))

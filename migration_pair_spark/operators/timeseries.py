@@ -95,8 +95,11 @@ def hierarchical_rollup(
         .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents"))
         # the hour partial feeds BOTH output grains; without this, each union
         # branch re-derives it from the raw table (two full scans). The
-        # persisted partial is tiny: O(hours x |dims|), not O(events).
-        .persist()
+        # partial is tiny — O(hours x |dims|) — and localCheckpoint (eager)
+        # materializes it ONCE; unlike .persist(), the blocks are reclaimed
+        # by the context cleaner when the returned plan is GC'd, so repeated
+        # calls don't accumulate pinned cache entries (review-caught, r2).
+        .localCheckpoint()
     )
     daily = (
         hourly.groupBy(

@@ -44,6 +44,16 @@ def test_curate_keep_set_matches_model(spark, docs):
     pdf = docs.toPandas()
     # exact dedup
     pdf = pdf.loc[pdf.groupby(pdf["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest()))["doc_id"].transform("min") == pdf["doc_id"]]
+    # quality gate BEFORE clustering (curate_corpus stage order: rejected
+    # docs never enter the near-dup stage, so keepers are chosen among
+    # gate-passers)
+    from migration_pair_spark.functions.textstats import quality_score
+
+    q = {
+        r.doc_id: r.q
+        for r in docs.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
+    }
+    pdf = pdf.loc[pdf["doc_id"].map(lambda i: q[i] >= 0.2)]
 
     def sh(t):
         return {t[i : i + 5] for i in range(max(len(t) - 4, 1))}
@@ -69,14 +79,6 @@ def test_curate_keep_set_matches_model(spark, docs):
                     keeper[hi] = lo
     model_kept = {i for i in ids if find(i) == i}
     got_rows = {r.doc_id: r for r in out.collect()}
-    # model also applies the quality gate the engine applied
-    from migration_pair_spark.functions.textstats import quality_score
-
-    q = {
-        r.doc_id: r.q
-        for r in docs.select("doc_id", quality_score(F.col("text")).alias("q")).collect()
-    }
-    model_kept = {i for i in model_kept if q[i] >= 0.2}
     assert set(got_rows) == model_kept
     # annotations present and typed
     any_row = next(iter(got_rows.values()))

@@ -218,3 +218,31 @@ def test_ivf_assignment_covers_corpus_once(spark):
     # a centroid is its own nearest centroid (cosine 1.0)
     own = {r.vec_id: r.cell for r in rows}
     assert all(own[c] == c for c in cent_ids)
+
+
+def test_srp_tolerates_null_and_ragged_embeddings(spark):
+    """Review-caught (round 2): a NULL or wrong-dimension vector must degrade
+    the way the SQL oracle does (null -> no signature rows; short -> present
+    dims only), never kill the job inside the Arrow kernel."""
+    import pyspark.sql.types as T
+
+    rows = [
+        (1, [float(i % 5) for i in range(64)]),
+        (2, None),                                # null vector
+        (3, [1.0, -2.0, 3.0]),                    # short vector
+        (4, [float(i % 7) for i in range(80)]),   # overlong vector
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+    b = similarity._srp_bucket_rows(
+        emb, "vec_id_x", "vec_id", "embedding", similarity.srp_weights(8, 4)
+    )
+    got = b.groupBy("vec_id_x").count().collect()
+    counts = {r.vec_id_x: r["count"] for r in got}
+    assert counts.get(1) == 8 and counts.get(3) == 8 and counts.get(4) == 8
+    assert 2 not in counts  # null vector: no bucket rows, like the oracle

@@ -137,3 +137,117 @@ def test_streaming_sessions_state_survives_restart(spark, stream_dir, tmp_path):
     want = _batch_sessions(pdf[pdf.user_id != 99])
     got = {s for s in emitted if s[0] != 99}
     assert got == want
+
+
+def test_out_of_order_within_watermark_matches_batch(spark, tmp_path):
+    """Review-caught (round 2): an event OLDER than the stored session end,
+    delivered in a later micro-batch but above the watermark, must not
+    corrupt the open session. The interval-merge semantics give the batch
+    answer for any arrival order within the delay."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = 1_700_000_000
+    files = [
+        [(1, _mins(10))],                    # batch 1: session seed at :10
+        [(1, _mins(0)), (1, _mins(45))],     # batch 2: OLDER event (:00) + :45
+        [(99, _mins(10_000))],               # sentinel: close everything
+    ]
+    for i, rows in enumerate(files):
+        _write(str(d / f"f{i}.parquet"), rows, base + i)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        sessionize_stream(stream, gap="30 minutes", watermark="60 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ooo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM ooo").collect()
+        if r.user_id != 99
+    }
+    pdf = pd.read_parquet(str(d))
+    want = _batch_sessions(pdf[pdf.user_id != 99])
+    # sorted order 0,10,45: gaps 10 and 35 -> sessions (0..10, n=2), (45, n=1)
+    assert got == want == {
+        (1, _mins(0), _mins(10), 2),
+        (1, _mins(45), _mins(45), 1),
+    }
+
+
+def test_out_of_order_bridging_event_coalesces_fragments(spark, tmp_path):
+    """Two fragments opened out of order coalesce when a bridging event
+    lands between them: (:00) and (:50) are separate until (:25) arrives."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = 1_700_000_000
+    files = [
+        [(1, _mins(0)), (1, _mins(50))],   # two disjoint fragments (gap 50 > 30)
+        [(1, _mins(25))],                   # bridges: 25-0 <= 30 and 50-25 <= 30
+        [(99, _mins(10_000))],
+    ]
+    for i, rows in enumerate(files):
+        _write(str(d / f"f{i}.parquet"), rows, base + i)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        sessionize_stream(stream, gap="30 minutes", watermark="60 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bridge")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM bridge").collect()
+        if r.user_id != 99
+    }
+    assert got == {(1, _mins(0), _mins(50), 3)}
+
+
+def test_custom_ts_and_key_columns(spark, tmp_path):
+    """Review-caught (round 2): ts_col/key_col parameters must thread through
+    to the state function and the output schema."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    pdf = pd.DataFrame(
+        [(7, _mins(0)), (7, _mins(5)), (99, _mins(10_000))],
+        columns=["device", "event_time"],
+    )
+    p = str(d / "f0.parquet")
+    pdf.to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
+    stream = spark.readStream.schema("device long, event_time timestamp").parquet(str(d))
+    sess = sessionize_stream(
+        stream, gap="30 minutes", watermark="30 minutes",
+        ts_col="event_time", key_col="device",
+    )
+    assert sess.columns == ["device", "session_start", "session_end", "n_events"]
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("customcols")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.device, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM customcols").collect()
+        if r.device != 99
+    }
+    assert got == {(7, _mins(0), _mins(5), 2)}
