@@ -54,7 +54,12 @@ HEADLINE_QUERIES = [
     "simhash_docs",
     "embedding_topk_cosine",
     "embedding_ann_lsh",
+    "embedding_ann_ivf",
     "multimodal_meta",
+    "range_join_click_purchase",
+    "hypertable_rollup",
+    "stratified_split_docs",
+    "tfidf_top_terms",
 ]
 
 _WORKER = r"""
@@ -68,12 +73,15 @@ spark = get_spark(f"bench{cores}", master=f"local[{cores}]", shuffle_partitions=
 events = spark.read.parquet(ev)
 # Adaptive min: the sandbox VM has hypervisor-steal spikes that inflate
 # single samples up to 10x, so keep sampling (bounded) until the best time
-# reproduces within 20 percent. rep 0 warms codegen/JIT/py workers.
+# REPRODUCES within 12 percent — the scaling efficiency is a ratio of two
+# mins, so unreproduced minima on either side swing it by 0.1+ (observed
+# 0.51-0.79 across driver runs at the looser 20 percent bar).
+# rep 0 warms codegen/JIT/py workers.
 walls = []
 rep = 0
 while rep <= reps or (
-    rep <= reps + 3
-    and (len(walls) < 2 or sorted(walls)[1] > sorted(walls)[0] * 1.2)
+    rep <= reps + 5
+    and (len(walls) < 2 or sorted(walls)[1] > sorted(walls)[0] * 1.12)
 ):
     tdir = os.path.join(work, f"t{cores}_{rep}")
     pipe = CdcPipeline(table_path=tdir, n_buckets=n_buckets, salt_buckets=16)

@@ -713,10 +713,13 @@ def minhash_signatures_docs(spark, sf_dir):
 def lsh_dup_pairs(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     # the shingle set feeds three stages (signatures, candidate filter,
-    # Jaccard verify) — materialize it once
-    sh = dd.shingles(docs).persist()
+    # Jaccard verify) — materialize it once. localCheckpoint, not persist:
+    # the returned plan is lazy, so nothing could ever unpersist a cache
+    # entry; checkpointed blocks are context-cleaner-reclaimed instead of
+    # pinned for the session lifetime (the bench re-runs this query).
+    sh = dd.shingles(docs).localCheckpoint()
     sig = dd.minhash_signatures(docs, shingles_df=sh)
-    pairs = dd.lsh_candidate_pairs(sig).persist()
+    pairs = dd.lsh_candidate_pairs(sig).localCheckpoint()
     return dd.jaccard_verify(docs, pairs, shingles_df=sh)
 
 
@@ -764,7 +767,7 @@ def lsh_dup_pairs(spark, sf_dir):
 )
 def neardup_doc_clusters(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    sh = dd.shingles(docs).persist()
+    sh = dd.shingles(docs).localCheckpoint()  # see lsh_dup_pairs note
     sig = dd.minhash_signatures(docs, shingles_df=sh)
     cand = dd.lsh_candidate_pairs(sig)
     pairs = dd.jaccard_verify(docs, cand, shingles_df=sh, threshold=0.5)
