@@ -609,3 +609,36 @@ def ivf_oracle_sql(
           FROM sims)
     WHERE rn <= {k}
     """
+
+
+def neardup_clusters_oracle_sql(threshold: float = 0.35) -> str:
+    """Recursive-CTE oracle for embedding near-dup cluster resolution:
+    all-pairs ground-truth edges (same integer cosine as neardup_oracle_sql),
+    connected components via recursive reachability, keeper = min vec_id."""
+    return f"""
+    WITH RECURSIVE {_QUANT_EX},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.q * b.q) AS dot
+        FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    sims AS (
+        SELECT vec_a, vec_b,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS sim
+        FROM dots JOIN norms na ON na.vec_id = vec_a
+                  JOIN norms nb ON nb.vec_id = vec_b
+    ),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM sims WHERE sim >= {threshold}
+        UNION ALL
+        SELECT vec_b, vec_a FROM sims WHERE sim >= {threshold}
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    lab AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id)
+    SELECT v.vec_id, coalesce(l.keeper, v.vec_id) AS keeper_vec_id
+    FROM embeddings v LEFT JOIN lab l ON l.id = v.vec_id
+    """

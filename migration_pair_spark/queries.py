@@ -958,3 +958,22 @@ def tfidf_top_terms(spark, sf_dir):
 def embedding_ann_ivf(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3)
+
+
+@q(
+    "embedding_neardup_clusters",
+    similarity.neardup_clusters_oracle_sql(threshold=0.35),
+    "embedding near-dup cluster resolution: SRP-LSH verified pairs -> "
+    "connected components, keeper = min vec_id (recursive-CTE oracle over "
+    "all-pairs ground truth, so the row also proves pair recall 1.0)",
+)
+def embedding_neardup_clusters(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = similarity.neardup_pairs_lsh(emb, threshold=0.35).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    out = dd.dedup_clusters(emb.withColumnRenamed("vec_id", "doc_id"), pairs)
+    return out.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("keeper_doc_id").alias("keeper_vec_id"),
+    )
