@@ -125,13 +125,24 @@ def apply_cdc_batch(
     table.refresh()  # another writer (or a previous incarnation) may have committed
 
     # -- 1-2: applied-interval gate ------------------------------------------
-    # One column-pruned pass over the batch yields the gate stats AND the
+    # One column-pruned pass over the batch yields the gate stats, the
     # touched-bucket set (winner urls == distinct batch urls, so the fresh
-    # rows' bucket set is exactly the merge's write set).
+    # rows' bucket set is exactly the merge's write set), AND the fresh LSN
+    # interval PER DELIVERY UNIT. The delivery contract (module docstring)
+    # makes each source FILE one LSN-contiguous chunk — but one micro-batch
+    # may carry several files (maxFilesPerTrigger > 1), and out of order: a
+    # single [min, max] span over such a batch would mark the gap between
+    # non-adjacent files as applied and silently drop a late file whole
+    # (review-caught, round 2). Grouping by input_file_name keeps one
+    # interval per contiguous unit; non-file batches ('' file name) fall
+    # back to one interval, which their callers (backfill, apply_batch on a
+    # DataFrame) are contractually single chunks anyway.
     applied = load_applied_ranges(table.properties)
     is_stale = covered_expr(F.col("change_lsn"), applied)
-    per_bucket = (
-        batch.groupBy(table.bucket_expr().alias("_b"))
+    per_group = (
+        batch.groupBy(
+            F.input_file_name().alias("_f"), table.bucket_expr().alias("_b")
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.min("change_lsn").alias("lsn_min"),
@@ -145,22 +156,28 @@ def apply_cdc_batch(
     )
 
     class _Stats:
-        n = sum(r["n"] for r in per_bucket)
-        n_stale = sum(r["n_stale"] or 0 for r in per_bucket)
-        lsn_min = min((r["lsn_min"] for r in per_bucket), default=None)
-        lsn_max = max((r["lsn_max"] for r in per_bucket), default=None)
-        max_epoch = max((r["max_epoch"] or 1 for r in per_bucket), default=1)
-        fresh_min = min(
-            (r["fresh_min"] for r in per_bucket if r["fresh_min"] is not None),
-            default=None,
-        )
-        fresh_max = max(
-            (r["fresh_max"] for r in per_bucket if r["fresh_max"] is not None),
-            default=None,
-        )
+        n = sum(r["n"] for r in per_group)
+        n_stale = sum(r["n_stale"] or 0 for r in per_group)
+        lsn_min = min((r["lsn_min"] for r in per_group), default=None)
+        lsn_max = max((r["lsn_max"] for r in per_group), default=None)
+        max_epoch = max((r["max_epoch"] or 1 for r in per_group), default=1)
 
     stats = _Stats
-    touched = sorted(r["_b"] for r in per_bucket if r["n"] > (r["n_stale"] or 0))
+    # fresh LSN interval per delivery unit (file); merge_ranges coalesces
+    # adjacent units so in-order delivery still publishes one interval
+    per_file: dict[str, tuple[int, int]] = {}
+    for r in per_group:
+        if r["fresh_min"] is None:
+            continue
+        cur = per_file.get(r["_f"])
+        per_file[r["_f"]] = (
+            min(r["fresh_min"], cur[0]) if cur else r["fresh_min"],
+            max(r["fresh_max"], cur[1]) if cur else r["fresh_max"],
+        )
+    batch_intervals = merge_ranges(list(per_file.values()))
+    touched = sorted(
+        {r["_b"] for r in per_group if r["n"] > (r["n_stale"] or 0)}
+    )
     lineage_base = {
         "batch_id": batch_id,
         "lsn_min": int(stats.lsn_min) if stats.lsn_min is not None else None,
@@ -168,7 +185,7 @@ def apply_cdc_batch(
         "rows_in_batch": int(stats.n),
         "table_version_before": table.version,
     }
-    if stats.n == 0 or stats.fresh_max is None:
+    if stats.n == 0 or not batch_intervals:
         return {
             **lineage_base,
             "skipped": True,
@@ -191,14 +208,19 @@ def apply_cdc_batch(
 
     fresh = batch.filter(~covered_expr(F.col("change_lsn"), applied))
 
-    # The intervals this commit publishes: applied so far + this chunk's
-    # fresh span. Data + intervals commit in ONE snapshot (same atomicity
-    # argument as the scalar watermark).
+    # The intervals this commit publishes: applied so far + one interval per
+    # fresh delivery unit in this batch. Data + intervals commit in ONE
+    # snapshot (same atomicity argument as the scalar watermark). The legacy
+    # scalar property stays the CONTIGUOUS-PREFIX high-water mark (first
+    # interval's hi), not max(hi): a scalar-watermark reader interprets
+    # max_lsn as "everything at or below is applied", which max(hi) would
+    # falsify while interior gaps remain (review-caught, round 2). In the
+    # steady state the intervals collapse to one and the two agree.
     import json as _json
 
-    new_ranges = merge_ranges(applied + [(int(stats.fresh_min), int(stats.fresh_max))])
+    new_ranges = merge_ranges(applied + [(int(lo), int(hi)) for lo, hi in batch_intervals])
     wm_props = {
-        WATERMARK_PROP: str(max(hi for _, hi in new_ranges)),
+        WATERMARK_PROP: str(new_ranges[0][1]),
         RANGES_PROP: _json.dumps(new_ranges),
     }
 
@@ -244,12 +266,15 @@ def apply_cdc_batch(
     # shape paid one extra job per micro-batch, the dominant fixed cost at
     # small batches). Counted rows are the fresh ones that actually LAND:
     # COW counts post-merge survivors (losers of the cross-batch guard are
-    # absent from `final`); MOR counts the appended winners. The per-bucket
-    # breakdown is len(touched) conditional counts — bounded by n_buckets,
-    # all folded into the same single pass.
+    # absent from `final`); MOR counts the appended winners. Membership in
+    # THIS batch's fresh intervals (not mere absence from `applied`) is the
+    # test: pre-existing rows outside any interval — e.g. snapshot-import
+    # backfill rows carrying _lsn=0 — must not inflate the counters
+    # (review-caught, round 2). The per-bucket breakdown is len(touched)
+    # conditional counts — bounded by n_buckets, folded into the same pass.
     from pyspark.sql import Observation
 
-    fresh_landed = ~covered_expr(F.col("_lsn"), applied)
+    fresh_landed = covered_expr(F.col("_lsn"), batch_intervals)
     obs = Observation(f"lineage-{batch_id}")
     obs_metrics = [
         F.count(F.when(fresh_landed & ~F.col("_deleted"), 1)).alias("_up"),

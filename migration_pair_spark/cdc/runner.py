@@ -224,13 +224,9 @@ class CdcPipeline:
         if not limit or lineage.get("skipped"):
             return
         table.refresh()
-        if not table.manifest.get("mor"):
+        if not table.is_merge_on_read:
             return
-        over = [
-            int(b)
-            for b, files in table.manifest["buckets"].items()
-            if len(files) > limit
-        ]
+        over = [b for b, n in table.files_per_bucket().items() if n > limit]
         if over:
             version = table.compact(over)
             lineage["auto_compacted_buckets"] = over

@@ -4,9 +4,13 @@ The engine was designed for Iceberg (the north rule names Iceberg MERGE),
 but iceberg-spark-runtime jars are not fetchable in this sandbox (SURVEY.md
 §7 S0 fallback), so the shipped implementation is :class:`~migration_pair_
 spark.lakehouse.table.LakeTable`. This module makes the swap a CONFIG
-SWITCH rather than a rewrite: ``apply_cdc_batch`` and ``CdcPipeline`` touch
-tables ONLY through this protocol, and tests/test_interface.py pins both
-that LakeTable satisfies it and that the CDC loop needs nothing outside it.
+SWITCH rather than a rewrite: ``apply_cdc_batch`` and ``CdcPipeline``'s
+apply + maintenance loop touch tables ONLY through this protocol, and
+tests/test_interface.py pins both that LakeTable satisfies it and that the
+CDC loop needs nothing outside it. (The snapshot-diff changelog and
+time-travel reads in cdc/changelog.py are deliberately OUTSIDE the seam:
+they read LakeTable manifests directly; on Iceberg they map to the native
+changelog read / VERSION AS OF, not to an adapter of this protocol.)
 
 Mapping of each member to its Iceberg implementation (what an
 ``IcebergTable`` adapter would do, for when the jars are available):
@@ -42,7 +46,9 @@ s()                  merge-on-read (equality deletes play the tombstone
 evolve_schema()      ALTER TABLE ADD COLUMN / RENAME COLUMN / ALTER COLUMN
                      TYPE — Iceberg schema-update commits; idempotent replay
                      handled the same way (skip ops whose effect is present)
-snapshot(v)          time travel: VERSION AS OF v
+compact()            maintenance: rewrite_data_files (bin-packing rewrite)
+is_merge_on_read /   v2 merge-on-read state / manifest entry counts per
+files_per_bucket()   bucket partition (the auto-compaction policy inputs)
 ===================  =======================================================
 """
 
@@ -123,3 +129,20 @@ class UpsertTarget(Protocol):
 
     # -- evolution ----------------------------------------------------------
     def evolve_schema(self, ops: list) -> int: ...
+
+    # -- maintenance ----------------------------------------------------------
+    @property
+    def is_merge_on_read(self) -> bool:
+        """True while reads must resolve outstanding deltas (Iceberg: v2
+        merge-on-read with delete files)."""
+        ...
+
+    def files_per_bucket(self) -> dict[int, int]:
+        """Data-file count per bucket — the auto-compaction policy input
+        (Iceberg: manifest entry counts per bucket partition)."""
+        ...
+
+    def compact(self, bucket_ids: "list[int] | None" = None) -> int:
+        """Fold the chosen buckets to read-optimal layout (Iceberg:
+        rewrite_data_files)."""
+        ...

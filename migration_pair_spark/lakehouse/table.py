@@ -169,6 +169,22 @@ class LakeTable:
     def lineage(self) -> dict | None:
         return self.manifest["lineage"]
 
+    @property
+    def is_merge_on_read(self) -> bool:
+        """True while any bucket holds unresolved delta files (reads must
+        LWW-resolve; compaction folds them). Iceberg analog: v2 table with
+        outstanding delete files / write.merge.mode=merge-on-read."""
+        return bool(self.manifest.get("mor"))
+
+    def files_per_bucket(self) -> dict[int, int]:
+        """Data-file count per bucket — the maintenance metric the
+        auto-compaction policy reads (format-neutral: Iceberg derives it
+        from the snapshot's manifest entries per bucket partition)."""
+        return {
+            int(b): len(files)
+            for b, files in self.manifest["buckets"].items()
+        }
+
     def snapshot_versions(self) -> list[int]:
         files = sorted(glob.glob(os.path.join(self.path, "manifests", "v*.json")))
         return [int(os.path.basename(p)[1:-5]) for p in files]
@@ -560,9 +576,13 @@ class LakeTable:
                 names.append(op.name)
                 changed = True
             elif isinstance(op, RenameColumn):
+                # already-applied check FIRST: if the new name exists, this
+                # op was replayed — even when a LATER epoch re-added a fresh
+                # column under the old name, re-renaming it would commit two
+                # fields with the same name (review-caught, round 2)
+                if op.new in names:
+                    continue
                 if op.old not in names:
-                    if op.new in names:
-                        continue  # replayed op — rename already applied
                     raise ValueError(f"cannot rename missing column {op.old}")
                 i = names.index(op.old)
                 fields[i] = T.StructField(op.new, fields[i].dataType, fields[i].nullable)
@@ -577,8 +597,15 @@ class LakeTable:
                 i = names.index(op.name)
                 old_t = fields[i].dataType.simpleString()
                 new_t = T._parse_datatype_string(op.new_type)
-                if old_t == new_t.simpleString():
-                    continue  # replayed op — already widened
+                if old_t == new_t.simpleString() or (
+                    new_t.simpleString(),
+                    old_t,
+                ) in widen_ok:
+                    # replayed op — already at the target type, or a LATER
+                    # widen epoch already took the column past it (replaying
+                    # epoch k after epoch k+n widened further must no-op,
+                    # not wedge the stream; review-caught, round 2)
+                    continue
                 if (old_t, new_t.simpleString()) not in widen_ok:
                     raise ValueError(
                         f"incompatible widen {op.name}: {old_t} -> {new_t.simpleString()}"

@@ -861,7 +861,13 @@ def embedding_ann_lsh(spark, sf_dir):
     "multimodal_meta",
     """
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-           md5(text) AS payload_md5, 'binary' AS modality
+           md5(text) AS payload_md5,
+           -- mirror binary_metadata's magic sniffing for the one magic that
+           -- is reachable from UTF-8 text: ASCII "ID3" (PNG's 0x89 and
+           -- JPEG's 0xFF are invalid UTF-8 lead bytes, so text-derived
+           -- payloads can never hit them)
+           CASE WHEN substr(text, 1, 3) = 'ID3' THEN 'audio'
+                ELSE 'binary' END AS modality
     FROM documents
     """,
     "multimodal binary-column metadata: pure built-ins, no Python stage",

@@ -74,3 +74,34 @@ def test_seam_proxy_rejects_out_of_protocol_access(spark, tmp_path):
     proxy = SeamProxy(t)
     with pytest.raises(AssertionError, match="outside the UpsertTarget seam"):
         _ = proxy.manifest  # implementation detail, not part of the seam
+
+
+def test_maintenance_loop_runs_through_the_seam_only(spark, tmp_path):
+    """The auto-compaction policy (the other table-touching path in
+    CdcPipeline) must also stay inside the protocol — review-caught r2: it
+    previously read table.manifest directly."""
+    from migration_pair_spark.cdc.runner import CdcPipeline
+
+    events = spark.createDataFrame(
+        synth.make_change_events(300, 40, seed=7),
+        schema="change_lsn long, op string, url string, warc_ts timestamp, "
+        "html binary, lang string, schema_epoch int",
+    ).withColumn("language", F.lit(None).cast("string")).withColumn(
+        "fetch_status", F.lit(None).cast("long")
+    )
+    table = LakeTable.create(
+        spark, str(tmp_path / "pages"), PAGES_SCHEMA, key_col="url", n_buckets=4
+    )
+    apply_cdc_batch(SeamProxy(table), events, batch_id=0, write_mode="mor")
+    more = events.withColumn("change_lsn", F.col("change_lsn") + 1000)
+    apply_cdc_batch(SeamProxy(table), more, batch_id=1, write_mode="mor")
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / "pages"),
+        n_buckets=4,
+        auto_compact_files_per_bucket=1,  # 2 delta files/bucket > 1 -> fold
+    )
+    lineage = {"skipped": False}
+    pipe._maybe_auto_compact(SeamProxy(table), lineage)
+    assert lineage.get("auto_compacted_buckets"), lineage
+    table.refresh()
+    assert max(table.files_per_bucket().values()) <= 1

@@ -246,3 +246,27 @@ def test_srp_tolerates_null_and_ragged_embeddings(spark):
     counts = {r.vec_id_x: r["count"] for r in got}
     assert counts.get(1) == 8 and counts.get(3) == 8 and counts.get(4) == 8
     assert 2 not in counts  # null vector: no bucket rows, like the oracle
+
+
+def test_multimodal_modality_sniffs_id3_text(spark):
+    """Review-caught (round 2): text starting with ASCII 'ID3' encodes to
+    the MP3 magic — engine says 'audio' and the catalog oracle's CASE must
+    agree (pinned here with duckdb on the same expression)."""
+    import duckdb
+
+    from migration_pair_spark.operators.multimodal import binary_metadata
+
+    df = spark.createDataFrame(
+        [(1, b"ID3 tags are metadata"), (2, b"plain text")],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.modality for r in binary_metadata(df).collect()}
+    assert got == {1: "audio", 2: "binary"}
+    oracle = dict(
+        duckdb.sql(
+            "SELECT doc_id, CASE WHEN substr(text,1,3)='ID3' THEN 'audio' "
+            "ELSE 'binary' END FROM (VALUES (1, 'ID3 tags are metadata'), "
+            "(2, 'plain text')) AS t(doc_id, text)"
+        ).fetchall()
+    )
+    assert oracle == got

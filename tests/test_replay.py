@@ -189,3 +189,57 @@ def test_oversized_batch_splits_into_bounded_subcommits(spark, stream_dir, tmp_p
         l["lsn_max"] - l["lsn_min"] + 1 <= (N_EVENTS // (N_EVENTS // 200)) + 1
         for l in subs
     )
+
+
+def test_multifile_trigger_with_gap_does_not_lose_late_file(spark, tmp_path):
+    """Review-caught (round 2): with maxFilesPerTrigger > 1, one micro-batch
+    can carry NON-ADJACENT files (A: lsn 1-100, C: 201-300) while the middle
+    file B arrives later. The gate must publish one interval per file — a
+    single [1, 300] span would mark B's range as applied and drop it whole."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from migration_pair_spark.cdc.apply import RANGES_PROP
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write_chunk(name, lo, hi, mtime):
+        pdf = pd.DataFrame(
+            {
+                "change_lsn": range(lo, hi + 1),
+                "op": "insert",
+                "url": [f"u/{i}" for i in range(lo, hi + 1)],
+                "warc_ts": [t0 + dt.timedelta(seconds=i) for i in range(lo, hi + 1)],
+                "html": [f"<p>{i}</p>".encode() for i in range(lo, hi + 1)],
+                "lang": "en",
+                "language": pd.Series([None] * (hi - lo + 1), dtype="string"),
+                "fetch_status": 200,
+                "schema_epoch": pd.Series([1] * (hi - lo + 1), dtype="int32"),
+            }
+        )
+        p = str(d / name)
+        pdf.to_parquet(p, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(p, (mtime, mtime))
+
+    base = 1_700_000_000
+    write_chunk("a.parquet", 1, 100, base)        # trigger 1 (with c)
+    write_chunk("c.parquet", 201, 300, base + 1)  # trigger 1
+    write_chunk("b.parquet", 101, 200, base + 2)  # trigger 2 — the gap chunk
+
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=8, salt_buckets=8)
+    lineages = pipe.run_stream(
+        spark, str(d), str(tmp_path / "ckpt"), max_files_per_trigger=2
+    )
+    applied = [l for l in lineages if not l["skipped"]]
+    assert len(applied) == 2  # batch {a, c} then batch {b} — b NOT skipped
+    t = LakeTable.load(spark, pipe.table_path)
+    assert t.read().count() == 300
+    import json
+
+    assert json.loads(t.properties[RANGES_PROP]) == [[1, 300]]
+    # after the mid-batch commit the ranges were split: check lineage audit
+    assert applied[0]["rows_upserted"] == 200
+    assert applied[1]["rows_upserted"] == 100

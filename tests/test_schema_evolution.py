@@ -67,7 +67,13 @@ def test_evolve_schema_op_replay_is_idempotent(spark, tmp_path):
     with pytest.raises(ValueError):
         t.evolve_schema([AddColumn("fetch_status", "string")])
     with pytest.raises(ValueError):
-        t.evolve_schema([WidenColumn("fetch_status", "int")])
+        t.evolve_schema([WidenColumn("fetch_status", "string")])
+    # a widen to a NARROWER type is indistinguishable from replaying an
+    # earlier widen after a later epoch widened further — it must no-op
+    # (leaving the wider type), never narrow and never wedge the stream
+    v2 = t.evolve_schema([WidenColumn("fetch_status", "int")])
+    assert v2 == v
+    assert t.schema["fetch_status"].dataType == T.LongType()
 
 
 def test_evolution_is_idempotent_on_replay(spark, evo_stream, tmp_path):
@@ -80,3 +86,42 @@ def test_evolution_is_idempotent_on_replay(spark, evo_stream, tmp_path):
     t = LakeTable.load(spark, pipe.table_path)
     assert t.version == v_before  # no new snapshots, no re-evolution
     assert t.properties[EPOCH_PROP] == "3"
+
+
+def test_replay_widen_after_later_widen_is_noop(spark, tmp_path):
+    """Review-caught (round 2): replaying epoch k's widen after epoch k+n
+    widened the column FURTHER must no-op, not raise 'incompatible widen'
+    (the crash window between evolve commit and data commit replays ops)."""
+    from migration_pair_spark.lakehouse.table import AddColumn, LakeTable, WidenColumn
+    import pyspark.sql.types as T
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("url", T.StringType()), T.StructField("c", T.IntegerType())]),
+        key_col="url", n_buckets=4,
+    )
+    t.evolve_schema([WidenColumn("c", "bigint")])
+    t.evolve_schema([WidenColumn("c", "double")])
+    v = t.version
+    t.evolve_schema([WidenColumn("c", "bigint")])  # replay of the first op
+    assert t.version == v  # no-op commit
+    assert t.schema["c"].dataType.simpleString() == "double"
+
+
+def test_replay_rename_after_old_name_readded(spark, tmp_path):
+    """Review-caught (round 2): replaying a rename when a LATER epoch
+    re-added a fresh column under the old name must no-op — re-renaming it
+    would commit two identically-named fields."""
+    from migration_pair_spark.lakehouse.table import AddColumn, LakeTable, RenameColumn
+    import pyspark.sql.types as T
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("url", T.StringType()), T.StructField("lang", T.StringType())]),
+        key_col="url", n_buckets=4,
+    )
+    t.evolve_schema([RenameColumn("lang", "language")])
+    t.evolve_schema([AddColumn("lang", "string")])  # later epoch re-adds 'lang'
+    t.evolve_schema([RenameColumn("lang", "language")])  # replay of the rename
+    names = [f.name for f in t.schema.fields]
+    assert names.count("language") == 1 and "lang" in names
