@@ -17,7 +17,7 @@ sets out without a repartition.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
@@ -53,4 +53,44 @@ def oracle_split_sql(key_col: str = "doc_id", salt: str = "split") -> str:
     return (
         f"CASE WHEN {nib} < {TRAIN_MAX} THEN 'train' "
         f"WHEN {nib} < {VAL_MAX} THEN 'val' ELSE 'test' END"
+    )
+
+
+def sample_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Balanced deterministic subsample: the ``k`` rows of each stratum with
+    the smallest ``md5(salt:key)`` — a hash-ordered 'reservoir' that is
+    stable under re-runs, engine swaps, and row order (training pipelines
+    rebalance skewed language/source mixes this way without a random seed
+    to ship around).
+
+    Scale shape: one window partitioned by the stratum. WindowGroupLimit
+    pushes the rank<=k filter below the sort, so each partition materializes
+    ~k rows, not the stratum; a heavily skewed stratum still sorts within
+    one partition — for web-scale strata (billions of docs in 'en') swap in
+    a two-phase top-k (per-partition top-k, then merge), which composes from
+    the same expression."""
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def oracle_sample_sql(
+    stratum_col: str, k: int, key_col: str = "doc_id", salt: str = "sample"
+) -> str:
+    """DuckDB twin of sample_per_stratum's selection predicate."""
+    h = f"md5('{salt}:' || CAST({key_col} AS VARCHAR))"
+    return (
+        f"SELECT * EXCLUDE (_rn) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {stratum_col} ORDER BY {h} ASC, {key_col} ASC) AS _rn "
+        f"FROM documents) WHERE _rn <= {k}"
     )

@@ -983,3 +983,21 @@ def embedding_neardup_clusters(spark, sf_dir):
         F.col("doc_id").alias("vec_id"),
         F.col("keeper_doc_id").alias("keeper_vec_id"),
     )
+
+
+@q(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)) ASC,
+                                           doc_id ASC) AS _rn
+        FROM documents) WHERE _rn <= 20
+    """,
+    "balanced per-language subsample: 20 docs per stratum by deterministic "
+    "md5 order (seedless, rerun- and engine-stable)",
+)
+def stratified_sample_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return sampling.sample_per_stratum(d, "lang", k=20).select("doc_id", "lang")
