@@ -87,6 +87,29 @@ def merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
     return out
 
 
+def subtract_ranges(
+    intervals: list[tuple[int, int]], applied: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Interval difference: the parts of ``intervals`` not covered by
+    ``applied`` (both merged+sorted). Used to derive the EXACT fresh set a
+    batch lands — a re-chunked delivery unit's [min, max] span can straddle
+    previously-applied interior LSNs, which must not count as upserted."""
+    out: list[tuple[int, int]] = []
+    for lo, hi in intervals:
+        cur = lo
+        for alo, ahi in applied:
+            if ahi < cur or alo > hi:
+                continue
+            if alo > cur:
+                out.append((cur, alo - 1))
+            cur = max(cur, ahi + 1)
+            if cur > hi:
+                break
+        if cur <= hi:
+            out.append((cur, hi))
+    return out
+
+
 def covered_expr(col: F.Column, ranges: list[tuple[int, int]]) -> F.Column:
     """Column predicate: LSN lies inside one of the applied intervals."""
     e = F.lit(False)
@@ -219,8 +242,17 @@ def apply_cdc_batch(
     import json as _json
 
     new_ranges = merge_ranges(applied + [(int(lo), int(hi)) for lo, hi in batch_intervals])
+    # Scalar watermark advance rule: wm means "every LSN <= wm is applied",
+    # so it may only advance to the first interval's hi when that interval
+    # is anchored — contiguous with the previous wm or at the 1-based WAL
+    # origin. An out-of-order FIRST delivery (leading gap) must leave the
+    # scalar where it was, or a scalar-watermark reader would skip the gap
+    # (review-caught; interior gaps were already handled).
+    prev_wm = int(table.properties.get(WATERMARK_PROP, "0"))
+    lo0, hi0 = new_ranges[0]
+    wm_val = hi0 if lo0 <= max(prev_wm + 1, 1) else prev_wm
     wm_props = {
-        WATERMARK_PROP: str(new_ranges[0][1]),
+        WATERMARK_PROP: str(wm_val),
         RANGES_PROP: _json.dumps(new_ranges),
     }
 
@@ -266,15 +298,18 @@ def apply_cdc_batch(
     # shape paid one extra job per micro-batch, the dominant fixed cost at
     # small batches). Counted rows are the fresh ones that actually LAND:
     # COW counts post-merge survivors (losers of the cross-batch guard are
-    # absent from `final`); MOR counts the appended winners. Membership in
-    # THIS batch's fresh intervals (not mere absence from `applied`) is the
-    # test: pre-existing rows outside any interval — e.g. snapshot-import
-    # backfill rows carrying _lsn=0 — must not inflate the counters
-    # (review-caught, round 2). The per-bucket breakdown is len(touched)
+    # absent from `final`); MOR counts the appended winners. The membership
+    # test is the batch's fresh intervals MINUS the applied set: a
+    # re-chunked unit's span can straddle previously-applied interior LSNs
+    # (whose stored rows re-read from touched buckets in COW), and mere
+    # absence from `applied` would count backfill rows (_lsn=0). Both were
+    # review-caught, round 2. The per-bucket breakdown is len(touched)
     # conditional counts — bounded by n_buckets, folded into the same pass.
     from pyspark.sql import Observation
 
-    fresh_landed = covered_expr(F.col("_lsn"), batch_intervals)
+    fresh_landed = covered_expr(
+        F.col("_lsn"), subtract_ranges(batch_intervals, applied)
+    )
     obs = Observation(f"lineage-{batch_id}")
     obs_metrics = [
         F.count(F.when(fresh_landed & ~F.col("_deleted"), 1)).alias("_up"),

@@ -49,7 +49,9 @@ def aggregate_delta(
     aggs = []
     for name, m in measures.items():
         col = F.col(m) if isinstance(m, str) else m
-        aggs.append(F.sum(sign * col.cast("long")).alias(f"{name}_delta"))
+        # no pre-sum integer cast: a fractional measure (e.g. a quality
+        # score) must sum exactly, not truncate row-by-row (review-caught)
+        aggs.append(F.sum(sign * col).alias(f"{name}_delta"))
     return feed.groupBy(*[F.col(d) for d in dims]).agg(*aggs)
 
 
@@ -67,14 +69,24 @@ def apply_delta(
     Scale shape: one hash join on the group keys — both sides are
     aggregate-sized (groups, not rows); the state never rescans the table.
     """
-    d = delta
-    joined = state.join(d, list(dims), "full_outer")
-    out_cols = [F.col(c) for c in dims]
+    # NULL-SAFE join on the dims: a null dimension value (e.g. language
+    # before lang-id backfill) is a legitimate group; plain equality would
+    # never match its state row and the group would split into duplicates
+    # that compound every batch (review-caught).
+    s_, d_ = state.alias("_s"), delta.alias("_d")
+    cond = None
+    for c in dims:
+        eq = F.col(f"_s.{c}").eqNullSafe(F.col(f"_d.{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = s_.join(d_, cond, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"_s.{c}"), F.col(f"_d.{c}")).alias(c) for c in dims
+    ]
     for name in measure_names:
         out_cols.append(
             (
-                F.coalesce(F.col(name), F.lit(0))
-                + F.coalesce(F.col(f"{name}_delta"), F.lit(0))
+                F.coalesce(F.col(f"_s.{name}"), F.lit(0))
+                + F.coalesce(F.col(f"_d.{name}_delta"), F.lit(0))
             ).alias(name)
         )
     out = joined.select(*out_cols)

@@ -576,12 +576,24 @@ class LakeTable:
                 names.append(op.name)
                 changed = True
             elif isinstance(op, RenameColumn):
-                # already-applied check FIRST: if the new name exists, this
-                # op was replayed — even when a LATER epoch re-added a fresh
-                # column under the old name, re-renaming it would commit two
-                # fields with the same name (review-caught, round 2)
+                # Replay detection uses the manifest's RENAME HISTORY, which
+                # distinguishes the two both-names-exist cases exactly: a
+                # replayed rename (old re-added by a later epoch) is in the
+                # history and must no-op; a GENUINE rename whose target name
+                # collides with a different existing column is not, and must
+                # hard-fail instead of silently stranding the old column
+                # (both review-caught, round 2).
+                replayed = any(
+                    r["old"] == op.old and r["new"] == op.new
+                    for r in m["renames"]
+                )
+                if replayed or (op.new in names and op.old not in names):
+                    continue  # already applied (history, or effect present)
                 if op.new in names:
-                    continue
+                    raise ValueError(
+                        f"cannot rename {op.old} -> {op.new}: target column "
+                        f"already exists"
+                    )
                 if op.old not in names:
                     raise ValueError(f"cannot rename missing column {op.old}")
                 i = names.index(op.old)

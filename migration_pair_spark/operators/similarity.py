@@ -170,7 +170,12 @@ def _srp_sig_udf(weights: list):
             if v is None:
                 valid[i] = False
                 continue
-            a = np.asarray(v, dtype=np.int64)[:dim]
+            # element-level nulls arrive as None/NaN (object or float
+            # array); the oracle's unnest+sum skips them, i.e. they
+            # contribute 0 — map through float64 (exact below 2^53) and
+            # zero the NaNs instead of crashing the kernel (review-caught)
+            a = np.asarray(v, dtype=np.float64)[:dim]
+            a = np.nan_to_num(a, nan=0.0).astype(np.int64)
             mat[i, : len(a)] = a
         bits = (mat @ w_mat) >= 0  # (B, n_tables*n_planes)
         codes = bits.reshape(len(q), n_tables, n_planes).astype(np.int64) @ pow2

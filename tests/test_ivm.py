@@ -110,3 +110,25 @@ def test_ivm_group_vanishes_on_full_delete(spark, tmp_path):
     rows = {r.lang: (r.n, r.chars) for r in state.collect()}
     assert "fr" not in rows  # group vanished with its last row
     assert rows["en"][0] == 1
+
+
+def test_ivm_null_dimension_group_folds_correctly(spark):
+    """Review-caught (round 2, second pass): a NULL dimension value is a
+    legitimate group — the state join must be null-safe or the group splits
+    into compounding duplicates."""
+    feed1 = spark.createDataFrame(
+        [("insert", None, "aa"), ("insert", "en", "bbb")],
+        "change_type string, language string, text string",
+    )
+    feed2 = spark.createDataFrame(
+        [("insert", None, "cccc")],
+        "change_type string, language string, text string",
+    )
+    state = empty_state(spark, "language string", MEASURES)
+    for feed in (feed1, feed2):
+        delta = aggregate_delta(
+            feed, DIMS, {"n": F.lit(1), "chars": F.length("text")}
+        )
+        state = apply_delta(state, delta, DIMS, MEASURES).localCheckpoint()
+    rows = {r.language: (r.n, r.chars) for r in state.collect()}
+    assert rows == {None: (2, 6), "en": (1, 3)}

@@ -243,3 +243,60 @@ def test_multifile_trigger_with_gap_does_not_lose_late_file(spark, tmp_path):
     # after the mid-batch commit the ranges were split: check lineage audit
     assert applied[0]["rows_upserted"] == 200
     assert applied[1]["rows_upserted"] == 100
+
+
+def test_leading_gap_keeps_scalar_watermark_safe(spark, tmp_path):
+    """Review-caught (round 2, second pass): an out-of-order FIRST delivery
+    (leading gap) must not advance engine.max_lsn — a scalar-watermark
+    reader treats wm as 'everything below is applied'."""
+    import datetime as dt
+
+    from migration_pair_spark.cdc.runner import CHANGE_STREAM_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def chunk(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, "insert", f"u/{i}", t0, b"<p>x</p>", "en", None, 200, 1)
+                for i in range(lo, hi + 1)
+            ],
+            CHANGE_STREAM_SCHEMA,
+        )
+
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=4, salt_buckets=4)
+    l1 = pipe.apply_batch(spark, chunk(201, 300), batch_id=0)  # leading gap!
+    t = LakeTable.load(spark, pipe.table_path)
+    assert int(t.properties[WATERMARK_PROP]) == 0  # scalar cannot advance
+    l2 = pipe.apply_batch(spark, chunk(1, 200), batch_id=1)  # gap fills
+    t.refresh()
+    assert int(t.properties[WATERMARK_PROP]) == 300  # now contiguous from 1
+    assert t.read().count() == 300
+
+
+def test_rechunked_overlap_counts_only_truly_fresh_rows(spark, tmp_path):
+    """Review-caught (round 2, second pass): a re-chunked unit whose span
+    straddles previously-applied interior LSNs must count only the genuinely
+    fresh rows as upserted (the interval-difference membership test)."""
+    import datetime as dt
+
+    from migration_pair_spark.cdc.runner import CHANGE_STREAM_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def chunk(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, "insert", f"u/{i}", t0, b"<p>x</p>", "en", None, 200, 1)
+                for i in range(lo, hi + 1)
+            ],
+            CHANGE_STREAM_SCHEMA,
+        )
+
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=4, salt_buckets=4)
+    pipe.apply_batch(spark, chunk(5, 7), batch_id=0)  # interior unit first
+    l2 = pipe.apply_batch(spark, chunk(1, 10), batch_id=1)  # re-chunked span
+    assert l2["rows_skipped"] == 3   # 5-7 already applied
+    assert l2["rows_upserted"] == 7  # 1-4 and 8-10 only (NOT 10)
+    t = LakeTable.load(spark, pipe.table_path)
+    assert t.read().count() == 10

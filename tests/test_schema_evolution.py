@@ -125,3 +125,23 @@ def test_replay_rename_after_old_name_readded(spark, tmp_path):
     t.evolve_schema([RenameColumn("lang", "language")])  # replay of the rename
     names = [f.name for f in t.schema.fields]
     assert names.count("language") == 1 and "lang" in names
+
+
+def test_genuine_rename_collision_still_raises(spark, tmp_path):
+    """Review-caught (round 2, second pass): a rename whose TARGET collides
+    with a distinct existing column (and was never applied before — not in
+    the manifest's rename history) must hard-fail, not silently no-op."""
+    from migration_pair_spark.lakehouse.table import LakeTable, RenameColumn
+    import pyspark.sql.types as T
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([
+            T.StructField("url", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("language", T.StringType()),  # distinct column
+        ]),
+        key_col="url", n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="target column already exists"):
+        t.evolve_schema([RenameColumn("lang", "language")])
