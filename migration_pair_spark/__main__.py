@@ -7,6 +7,7 @@ to Spark-first subcommands:
     backfill          events dir -> table, one batch (reference EndToEnd)
     cdc-run           events dir -> table, streaming tail (north rule)
     compact           rewrite bucket files (maintenance)
+    changelog         snapshot-diff change feed between two table versions
     curate            documents parquet -> deduped/filtered/split corpus
     package           build the --py-files zip for spark-submit
 
@@ -52,6 +53,13 @@ def main(argv: list[str] | None = None) -> int:
 
     de = sub.add_parser("describe")
     de.add_argument("--table-path", required=True)
+
+    cl = sub.add_parser("changelog")
+    cl.add_argument("--table-path", required=True)
+    cl.add_argument("--from-version", type=int, required=True)
+    cl.add_argument("--to-version", type=int, default=None,
+                    help="default: current version")
+    cl.add_argument("--out", required=True)
 
     cu = sub.add_parser("curate")
     cu.add_argument("--docs", required=True, help="input documents parquet")
@@ -124,6 +132,18 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable.load(spark, args.table_path)
         version = table.compact()
         print(json.dumps({"snapshot": version}))
+    elif args.cmd == "changelog":
+        from migration_pair_spark.cdc.changelog import materialize_changelog
+        from migration_pair_spark.lakehouse.table import LakeTable
+
+        table = LakeTable.load(spark, args.table_path)
+        v_to = args.to_version if args.to_version is not None else table.version
+        d = materialize_changelog(table, args.out, args.from_version, v_to)
+        n = spark.read.parquet(d).count() if d else None
+        print(json.dumps({
+            "out": d, "from": args.from_version, "to": v_to,
+            "rows": n, "already_materialized": d is None,
+        }))
     elif args.cmd == "curate":
         from migration_pair_spark.operators.curate import curate_corpus, write_curated
 

@@ -193,3 +193,21 @@ def test_diff_across_schema_evolution(spark, tmp_path):
     assert by_type["update_before"].language == "en"
     assert by_type["update_before"].text == "a1"
     assert by_type["update_after"].text == "a3"
+
+
+def test_changelog_cli(spark, tmp_path, capsys):
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=8, salt_buckets=8)
+    l1 = pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    from migration_pair_spark.__main__ import main
+    import json as _json
+
+    out = str(tmp_path / "feed")
+    rc = main([
+        "changelog", "--table-path", str(tmp_path / "t"),
+        "--from-version", str(l1["snapshot_id"]), "--out", out,
+    ])
+    assert rc == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["rows"] == 4  # update x2, delete, insert
+    assert os.path.exists(os.path.join(payload["out"], "_DONE"))
