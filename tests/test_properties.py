@@ -155,3 +155,37 @@ def test_assign_split_total_and_stable(spark, ids):
     assert {r.split for r in rows} <= {"train", "val", "test"}
     again = {(r.doc_id, r.split) for r in assign_split(df).collect()}
     assert {(r.doc_id, r.split) for r in rows} == again  # deterministic
+
+
+# -- interval algebra of the exactly-once gate --------------------------------
+
+ranges_strategy = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 60)).map(
+        lambda t: (min(t), max(t))
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=ranges_strategy, b=ranges_strategy)
+def test_interval_algebra_against_set_model(a, b):
+    """merge_ranges and subtract_ranges must agree with the brute-force set
+    model for ANY interval soup — these functions gate exactly-once."""
+    from migration_pair_spark.cdc.apply import merge_ranges, subtract_ranges
+
+    def points(rs):
+        return {p for lo, hi in rs for p in range(lo, hi + 1)}
+
+    merged = merge_ranges(a)
+    assert points(merged) == points(a)
+    # merged output is sorted, disjoint, non-adjacent
+    for (l1, h1), (l2, h2) in zip(merged, merged[1:]):
+        assert h1 + 1 < l2
+    assert all(lo <= hi for lo, hi in merged)
+
+    diff = subtract_ranges(merge_ranges(a), merge_ranges(b))
+    assert points(diff) == points(a) - points(b)
+    for lo, hi in diff:
+        assert lo <= hi
