@@ -28,6 +28,13 @@ Scale shape:
   reconciled onto the NEW snapshot's schema (``LakeTable.at_version``'s
   ``schema_from``), so before/after images always align by name; columns
   added between the versions read as null in the before-image.
+
+When to emit (measured, scripts/soak.py): per-batch emission is cheap under
+COW (the merge materializes both images anyway) but under MERGE-ON-READ the
+before-image read re-resolves the touched buckets' accumulated deltas —
+~2x total cost at 10 batches and growing with delta depth. For MOR
+steady-state, emit on compaction boundaries or on demand: the feed is a pure
+function of two immutable snapshots, so NOTHING is lost by deferring.
 """
 
 from __future__ import annotations

@@ -1,0 +1,97 @@
+"""10^7-event soak: sustained steady-state CDC apply (MOR + auto-compaction
++ changelog emission), the top of the sandbox band standing in for the north
+rule's 10^10 regime. Records per-batch walls (the FLATNESS is the claim:
+merge-on-read batch cost must not grow with accumulated table size), final
+resolved-read and compaction walls, and the lineage/interval audit.
+
+Usage: python scripts/soak.py [n_events] [n_batches] [cores]
+Writes everything under /dev/shm and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from migration_pair_spark import synth
+from migration_pair_spark.cdc.apply import RANGES_PROP, read_lineage
+from migration_pair_spark.cdc.runner import CHANGE_STREAM_SCHEMA, CdcPipeline
+from migration_pair_spark.lakehouse.table import LakeTable
+from migration_pair_spark.session import get_spark
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    with_changelog = len(sys.argv) > 4 and sys.argv[4] == "changelog"
+
+    spark = get_spark(f"soak{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    work = tempfile.mkdtemp(prefix="mps-soak-", dir="/dev/shm")
+    ev_dir = os.path.join(work, "events")
+    synth.write_change_stream(
+        ev_dir, n_events, n_events // 5, n_files=n_batches, seed=7, words_per_doc=80
+    )
+    pipe = CdcPipeline(
+        table_path=os.path.join(work, "t"),
+        n_buckets=32,
+        salt_buckets=16,
+        write_mode="mor",
+        auto_compact_files_per_bucket=40,
+        changelog_dir=os.path.join(work, "feed") if with_changelog else None,
+    )
+    events = spark.read.schema(CHANGE_STREAM_SCHEMA).parquet(ev_dir)
+    files = sorted(
+        os.path.join(ev_dir, f)
+        for f in os.listdir(ev_dir)
+        if f.endswith(".parquet")
+    )
+    walls = []
+    t_all = time.monotonic()
+    for i, f in enumerate(files):
+        batch = spark.read.schema(CHANGE_STREAM_SCHEMA).parquet(f)
+        t0 = time.monotonic()
+        pipe.apply_batch(spark, batch, batch_id=i)
+        walls.append(round(time.monotonic() - t0, 2))
+    total = time.monotonic() - t_all
+
+    table = LakeTable.load(spark, pipe.table_path)
+    t0 = time.monotonic()
+    n_final = table.read().count()
+    read_wall = time.monotonic() - t0
+    t0 = time.monotonic()
+    table.compact()
+    compact_wall = time.monotonic() - t0
+
+    lineages = read_lineage(table)
+    ranges = json.loads(table.properties[RANGES_PROP])
+    feed = os.path.join(work, "feed")
+    feed_dirs = sorted(os.listdir(feed)) if os.path.isdir(feed) else []
+    print(json.dumps({
+        "n_events": n_events,
+        "n_batches": len(files),
+        "events_per_sec": round(n_events / total, 1),
+        "wall_sec": round(total, 1),
+        "per_batch_walls": walls,
+        "final_rows": n_final,
+        "resolved_read_sec": round(read_wall, 2),
+        "compact_sec": round(compact_wall, 2),
+        "applied_ranges": ranges,
+        "max_lsn": int(table.properties["engine.max_lsn"]),
+        "auto_compactions": sum(
+            1 for l in lineages if l.get("auto_compacted_buckets")
+        ),
+        "changelog": with_changelog,
+        "changelog_dirs": len(feed_dirs),
+    }))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
