@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -138,11 +139,25 @@ def main(argv: list[str] | None = None) -> int:
 
         table = LakeTable.load(spark, args.table_path)
         v_to = args.to_version if args.to_version is not None else table.version
+        versions = set(table.snapshot_versions())
+        if args.from_version not in versions or v_to not in versions:
+            p.error(f"unknown snapshot version (have {sorted(versions)})")
+        if args.from_version >= v_to:
+            p.error(
+                f"--from-version must precede --to-version "
+                f"({args.from_version} >= {v_to}): a reversed diff would emit "
+                f"an inverted feed"
+            )
         d = materialize_changelog(table, args.out, args.from_version, v_to)
-        n = spark.read.parquet(d).count() if d else None
+        # idempotent replay: the directory is deterministic, report it even
+        # when this invocation materialized nothing
+        out_dir = d or os.path.join(
+            args.out, f"v{args.from_version:08d}-v{v_to:08d}"
+        )
         print(json.dumps({
-            "out": d, "from": args.from_version, "to": v_to,
-            "rows": n, "already_materialized": d is None,
+            "out": out_dir, "from": args.from_version, "to": v_to,
+            "rows": spark.read.parquet(out_dir).count(),
+            "already_materialized": d is None,
         }))
     elif args.cmd == "curate":
         from migration_pair_spark.operators.curate import curate_corpus, write_curated

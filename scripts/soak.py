@@ -4,8 +4,10 @@ rule's 10^10 regime. Records per-batch walls (the FLATNESS is the claim:
 merge-on-read batch cost must not grow with accumulated table size), final
 resolved-read and compaction walls, and the lineage/interval audit.
 
-Usage: python scripts/soak.py [n_events] [n_batches] [cores]
-Writes everything under /dev/shm and prints one JSON line.
+Usage: python scripts/soak.py [n_events] [n_batches] [cores] [changelog]
+(the literal word 'changelog' anywhere in argv enables per-batch feed
+emission — the BENCH/BASELINE.md second scenario). Writes everything under
+/dev/shm and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -20,20 +22,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from migration_pair_spark import synth
-from migration_pair_spark.cdc.apply import RANGES_PROP, read_lineage
+from migration_pair_spark.cdc.apply import RANGES_PROP
 from migration_pair_spark.cdc.runner import CHANGE_STREAM_SCHEMA, CdcPipeline
 from migration_pair_spark.lakehouse.table import LakeTable
 from migration_pair_spark.session import get_spark
 
 
 def main() -> None:
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    with_changelog = len(sys.argv) > 4 and sys.argv[4] == "changelog"
+    pos = [a for a in sys.argv[1:] if a != "changelog"]
+    n_events = int(pos[0]) if len(pos) > 0 else 10_000_000
+    n_batches = int(pos[1]) if len(pos) > 1 else 10
+    cores = int(pos[2]) if len(pos) > 2 else 8
+    with_changelog = "changelog" in sys.argv[1:]
 
     spark = get_spark(f"soak{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     work = tempfile.mkdtemp(prefix="mps-soak-", dir="/dev/shm")
+    try:
+        _run(spark, work, n_events, n_batches, with_changelog)
+    finally:
+        # tmpfs is RAM: a crashed soak must not strand gigabytes in /dev/shm
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _run(spark, work: str, n_events: int, n_batches: int, with_changelog: bool) -> None:
     ev_dir = os.path.join(work, "events")
     synth.write_change_stream(
         ev_dir, n_events, n_events // 5, n_files=n_batches, seed=7, words_per_doc=80
@@ -46,18 +57,18 @@ def main() -> None:
         auto_compact_files_per_bucket=40,
         changelog_dir=os.path.join(work, "feed") if with_changelog else None,
     )
-    events = spark.read.schema(CHANGE_STREAM_SCHEMA).parquet(ev_dir)
     files = sorted(
         os.path.join(ev_dir, f)
         for f in os.listdir(ev_dir)
         if f.endswith(".parquet")
     )
     walls = []
+    lineages = []
     t_all = time.monotonic()
     for i, f in enumerate(files):
         batch = spark.read.schema(CHANGE_STREAM_SCHEMA).parquet(f)
         t0 = time.monotonic()
-        pipe.apply_batch(spark, batch, batch_id=i)
+        lineages.append(pipe.apply_batch(spark, batch, batch_id=i))
         walls.append(round(time.monotonic() - t0, 2))
     total = time.monotonic() - t_all
 
@@ -69,7 +80,8 @@ def main() -> None:
     table.compact()
     compact_wall = time.monotonic() - t0
 
-    lineages = read_lineage(table)
+    # auto-compact annotations live on the RETURNED lineage dicts (the
+    # jsonl record is appended before the maintenance pass runs)
     ranges = json.loads(table.properties[RANGES_PROP])
     feed = os.path.join(work, "feed")
     feed_dirs = sorted(os.listdir(feed)) if os.path.isdir(feed) else []
@@ -90,7 +102,6 @@ def main() -> None:
         "changelog": with_changelog,
         "changelog_dirs": len(feed_dirs),
     }))
-    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -211,3 +211,29 @@ def test_changelog_cli(spark, tmp_path, capsys):
     payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert payload["rows"] == 4  # update x2, delete, insert
     assert os.path.exists(os.path.join(payload["out"], "_DONE"))
+
+
+def test_changelog_cli_replay_and_validation(spark, tmp_path, capsys):
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=8, salt_buckets=8)
+    l1 = pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    from migration_pair_spark.__main__ import main
+    import json as _json
+
+    out = str(tmp_path / "feed")
+    args = ["changelog", "--table-path", str(tmp_path / "t"),
+            "--from-version", str(l1["snapshot_id"]), "--out", out]
+    assert main(args) == 0
+    first = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(args) == 0  # replay: same feed location, no re-write
+    second = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["already_materialized"] is True
+    assert second["out"] == first["out"] and second["rows"] == first["rows"]
+    # reversed versions are rejected, not silently inverted
+    with pytest.raises(SystemExit):
+        main(["changelog", "--table-path", str(tmp_path / "t"),
+              "--from-version", "4", "--to-version", "2", "--out", out])
+    # unknown version is a CLI error, not a traceback
+    with pytest.raises(SystemExit):
+        main(["changelog", "--table-path", str(tmp_path / "t"),
+              "--from-version", "99", "--out", out])
