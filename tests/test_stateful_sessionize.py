@@ -251,3 +251,43 @@ def test_custom_ts_and_key_columns(spark, tmp_path):
         if r.device != 99
     }
     assert got == {(7, _mins(0), _mins(5), 2)}
+
+
+def test_fragment_close_exactly_on_watermark_boundary(spark, tmp_path):
+    """Edge probe (round 2): a fragment whose end+gap lands EXACTLY on the
+    watermark stays open (an event at t == watermark is admissible and can
+    still attach), the timeout re-arms at a timestamp equal to the current
+    watermark without error, and the session closes once the watermark
+    moves past."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = 1_700_000_000
+    files = [
+        # after this batch wm = 10000-30 = 9970 == fragment end (9940) + gap
+        [(1, _mins(9940)), (99, _mins(10_000))],
+        [(99, _mins(10_001))],  # timeout fires with end+gap == wm: no close yet
+        [(99, _mins(11_000))],  # wm sails past: NOW it closes
+    ]
+    for i, rows in enumerate(files):
+        _write(str(d / f"f{i}.parquet"), rows, base + i)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        sessionize_stream(stream, gap="30 minutes", watermark="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wmedge")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM wmedge").collect()
+        if r.user_id != 99
+    }
+    assert got == {(1, _mins(9940), _mins(9940), 1)}
