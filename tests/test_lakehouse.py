@@ -149,3 +149,57 @@ def test_tombstones_hidden_by_default(spark, tmp_table_dir):
     )
     assert t.read().count() == 9
     assert t.read(include_tombstones=True).count() == 10
+
+
+def test_concurrent_writer_conflict_then_retry_exactly_once(spark, tmp_path):
+    """Optimistic concurrency end-to-end: a competing commit that lands
+    between the apply's refresh and its own commit makes the apply fail with
+    the commit-conflict error (nothing published), and a plain retry of the
+    SAME batch succeeds with the correct final state — the foreachBatch
+    retry story (runner docstring) in miniature."""
+    import datetime as dt
+
+    from migration_pair_spark.cdc.apply import apply_cdc_batch
+    from migration_pair_spark.cdc.runner import CHANGE_STREAM_SCHEMA, CdcPipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def chunk(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, "insert", f"u/{i}", t0, b"<p>x</p>", "en", None, 200, 1)
+                for i in range(lo, hi + 1)
+            ],
+            CHANGE_STREAM_SCHEMA,
+        )
+
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=4, salt_buckets=4)
+    table = pipe.ensure_table(spark)
+    apply_cdc_batch(table, chunk(1, 50), batch_id=0)
+
+    # competing writer handle on the same table path
+    rival = LakeTable.load(spark, str(tmp_path / "t"))
+
+    victim = LakeTable.load(spark, str(tmp_path / "t"))
+    orig = victim.replace_buckets
+
+    def race(*args, **kwargs):
+        rival.compact()  # rival publishes the next version first
+        return orig(*args, **kwargs)
+
+    victim.replace_buckets = race
+    with pytest.raises(RuntimeError, match="commit conflict"):
+        apply_cdc_batch(victim, chunk(51, 80), batch_id=1)
+
+    # nothing from the failed apply is visible
+    check = LakeTable.load(spark, str(tmp_path / "t"))
+    assert check.read().count() == 50
+
+    # plain retry (fresh handle, same batch) succeeds, exactly once
+    retry = LakeTable.load(spark, str(tmp_path / "t"))
+    lin = apply_cdc_batch(retry, chunk(51, 80), batch_id=1)
+    assert not lin["skipped"] and lin["rows_upserted"] == 30
+    assert LakeTable.load(spark, str(tmp_path / "t")).read().count() == 80
+    # and a SECOND retry is gated off (idempotent)
+    lin2 = apply_cdc_batch(retry, chunk(51, 80), batch_id=2)
+    assert lin2["skipped"]
