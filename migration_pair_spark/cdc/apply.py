@@ -122,9 +122,6 @@ def apply_cdc_batch(
     table: LakeTable,
     batch: DataFrame,
     batch_id: int = 0,
-    salt_buckets: int = 16,  # used by the window-form LWW alternative only;
-    # the default max_by aggregate needs no salt (map-side combine pre-folds
-    # hot keys — see lww.lww_dedup_agg)
     epoch_registry: "dict[int, list] | None" = None,
     extract_text: bool = True,
     write_mode: str = "cow",
@@ -178,14 +175,15 @@ def apply_cdc_batch(
         .collect()
     )
 
-    class _Stats:
-        n = sum(r["n"] for r in per_group)
-        n_stale = sum(r["n_stale"] or 0 for r in per_group)
-        lsn_min = min((r["lsn_min"] for r in per_group), default=None)
-        lsn_max = max((r["lsn_max"] for r in per_group), default=None)
-        max_epoch = max((r["max_epoch"] or 1 for r in per_group), default=1)
+    from types import SimpleNamespace
 
-    stats = _Stats
+    stats = SimpleNamespace(
+        n=sum(r["n"] for r in per_group),
+        n_stale=sum(r["n_stale"] or 0 for r in per_group),
+        lsn_min=min((r["lsn_min"] for r in per_group), default=None),
+        lsn_max=max((r["lsn_max"] for r in per_group), default=None),
+        max_epoch=max((r["max_epoch"] or 1 for r in per_group), default=1),
+    )
     # fresh LSN interval per delivery unit (file); merge_ranges coalesces
     # adjacent units so in-order delivery still publishes one interval
     per_file: dict[str, tuple[int, int]] = {}
@@ -258,11 +256,17 @@ def apply_cdc_batch(
 
     # -- 4: LWW dedup per key (aggregate form: map-side combine makes the
     # shuffle O(distinct keys) and neutralizes hot-key skew without salting;
-    # see lww.lww_dedup_agg docstring) ---------------------------------------
+    # see lww.lww_dedup_agg docstring). The ORDER comes from the table's
+    # persisted lww_order (manifest) so both write modes and the MOR read
+    # path resolve identically; on the batch side the stored-row column
+    # _lsn is the event column change_lsn (review-caught: hardcoding the
+    # default here diverged from custom-lww_order tables).
     key = table.key_col
-    winners = lww_dedup_agg(
-        fresh, key_cols=(key,), order_cols=("warc_ts", "change_lsn")
+    stored_order = table.lww_order
+    batch_order = tuple(
+        "change_lsn" if c == "_lsn" else c for c in stored_order
     )
+    winners = lww_dedup_agg(fresh, key_cols=(key,), order_cols=batch_order)
 
     # -- 5: vectorized text extraction, winners only (mapInArrow: columns
     # stay Arrow buffers, the RE2 chain is the only Python-side work; delete
@@ -340,7 +344,7 @@ def apply_cdc_batch(
             "_bucket", table.bucket_expr()
         )
         merged = current.unionByName(winners_phys)
-        final = lww_dedup_agg(merged, key_cols=(key,), order_cols=("warc_ts", "_lsn"))
+        final = lww_dedup_agg(merged, key_cols=(key,), order_cols=stored_order)
         new_version = table.replace_buckets(
             final.observe(obs, *obs_metrics),
             touched,
@@ -371,6 +375,10 @@ def apply_cdc_batch(
 
 
 def _append_lineage(table: LakeTable, lineage: dict) -> None:
+    """Best-effort audit convenience: the AUTHORITATIVE lineage is the one
+    committed inside each snapshot's manifest (atomic with the data); a crash
+    between commit and this append leaves the jsonl one line short while the
+    manifest chain stays complete. Reconciliation must read manifests."""
     import json
     import os
 

@@ -126,16 +126,34 @@ def snapshot_diff(table: LakeTable, v_from: int, v_to: int) -> DataFrame:
 
 def apply_changes(state: DataFrame, feed: DataFrame, key: str) -> DataFrame:
     """Fold a change feed into a state DataFrame (the consumer-side replay:
-    drop keys with delete/update_before, add insert/update_after images).
-    Used by tests to prove feed(v_from -> v_to) + state(v_from) == state(v_to)."""
+    drop keys with delete/update_before, add insert/update_after images);
+    proves feed(v_from -> v_to) + state(v_from) == state(v_to).
+
+    Feeds spanning SEVERAL version pairs fold pair-by-pair in version
+    order — a single flat anti-join/union would lose event ordering (an
+    insert in pair 1 followed by a delete in pair 2 would resurrect the
+    key; review-caught). Each pair's feed has at most one change per key
+    on each side, so within a pair the flat form is exact."""
+    pairs = sorted(
+        (r._v_from, r._v_to)
+        for r in feed.select("_v_from", "_v_to").distinct().collect()
+    )
     cols = state.columns
-    gone = feed.filter(
-        F.col("change_type").isin("delete", "update_before")
-    ).select(key)
-    added = feed.filter(
-        F.col("change_type").isin("insert", "update_after")
-    ).select(*cols)
-    return state.join(gone, key, "left_anti").unionByName(added)
+    for v_from, v_to in pairs:
+        f = feed.filter(
+            (F.col("_v_from") == v_from) & (F.col("_v_to") == v_to)
+        )
+        gone = f.filter(
+            F.col("change_type").isin("delete", "update_before")
+        ).select(key)
+        added = f.filter(
+            F.col("change_type").isin("insert", "update_after")
+        ).select(*cols)
+        state = state.join(gone, key, "left_anti").unionByName(added)
+        if len(pairs) > 1:
+            # keep the iterated plan flat (same rationale as dedup_clusters)
+            state = state.localCheckpoint()
+    return state
 
 
 def materialize_changelog(

@@ -134,7 +134,9 @@ class CdcPipeline:
         reference's InsertionBatch flush bound
         (/root/reference/Tasks/Insertion.cs:86-90, default 100k per
         /root/reference/Models/SettingsModel.cs:10). A crash mid-split loses
-        at most one sub-batch, which the watermark gate re-applies cleanly."""
+        at most one sub-batch, which the watermark gate re-applies cleanly.
+        Sub-batch lineage ids are batch_id*1e6 + part (collision-free up to
+        a million chunks per batch)."""
         table = self.ensure_table(spark)
         events = self.normalize(events)
         limit = self.max_events_per_batch
@@ -147,7 +149,12 @@ class CdcPipeline:
             if bounds.n and bounds.n > limit:
                 # contiguous LSN ranges sized ~limit (LSNs may be sparse;
                 # ranges are an upper bound on rows per sub-batch only when
-                # dense — good enough as a memory bound for a WAL tail)
+                # dense — good enough as a memory bound for a WAL tail).
+                # Persist across the chunk loop: each sub-batch runs two
+                # actions, and for non-file-backed batches (no parquet
+                # range pushdown) every chunk would otherwise recompute the
+                # whole input (review-caught).
+                events = events.persist()
                 lineages = []
                 lo = int(bounds.lo)
                 span = max(int((bounds.hi - bounds.lo + 1) * limit / bounds.n), 1)
@@ -160,8 +167,7 @@ class CdcPipeline:
                     sub = apply_cdc_batch(
                         table,
                         chunk,
-                        batch_id=batch_id * 10_000 + part,
-                        salt_buckets=self.salt_buckets,
+                        batch_id=batch_id * 1_000_000 + part,
                         epoch_registry=self.epoch_registry,
                         extract_text=self.extract_text,
                         write_mode=self.write_mode,
@@ -169,6 +175,7 @@ class CdcPipeline:
                     self._maybe_changelog(table, sub)
                     lineages.append(sub)
                     lo, part = hi + 1, part + 1
+                events.unpersist()
                 applied = [l for l in lineages if not l["skipped"]]
                 # MOR maintenance must run here too: the split path IS the
                 # large-batch path where delta-file accumulation matters most.
@@ -196,7 +203,6 @@ class CdcPipeline:
             table,
             events,
             batch_id=batch_id,
-            salt_buckets=self.salt_buckets,
             epoch_registry=self.epoch_registry,
             extract_text=self.extract_text,
             write_mode=self.write_mode,
@@ -206,10 +212,28 @@ class CdcPipeline:
         return lineage
 
     def _maybe_changelog(self, table: LakeTable, lineage: dict) -> None:
-        if self.changelog_dir is None or lineage.get("skipped"):
+        if self.changelog_dir is None:
             return
         from migration_pair_spark.cdc.changelog import materialize_changelog
 
+        if lineage.get("skipped"):
+            # Crash-window heal: a death between the table commit and the
+            # feed write leaves exactly ONE pair unmaterialized (feeds are
+            # written synchronously after each commit), and the restart
+            # replays that batch as skipped. The CURRENT manifest's lineage
+            # names the missed pair; materialize is idempotent, so in the
+            # common case this is one _DONE stat (review-caught: without
+            # this, the documented 'rerun rebuilds the feed' claim was
+            # false — nothing ever reran it).
+            last = table.lineage
+            if last and last.get("table_version_before") is not None:
+                materialize_changelog(
+                    table,
+                    self.changelog_dir,
+                    last["table_version_before"],
+                    table.version,
+                )
+            return
         materialize_changelog(
             table,
             self.changelog_dir,

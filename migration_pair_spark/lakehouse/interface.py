@@ -103,6 +103,12 @@ class UpsertTarget(Protocol):
     @property
     def properties(self) -> dict[str, str]: ...
 
+    @property
+    def lww_order(self) -> tuple[str, ...]:
+        """Persisted LWW ordering columns (Iceberg: a table property the
+        MERGE templates read — e.g. 'engine.lww-order')."""
+        ...
+
     # -- routing / reads ----------------------------------------------------
     def bucket_expr(self, col: str | None = None) -> Column: ...
 

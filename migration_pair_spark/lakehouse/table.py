@@ -170,6 +170,13 @@ class LakeTable:
         return self.manifest["lineage"]
 
     @property
+    def lww_order(self) -> tuple[str, ...]:
+        """The table's persisted last-writer-wins ordering (stored-row
+        column names); the single source of truth for every resolve path
+        (COW merge, MOR read, compaction)."""
+        return tuple(self.manifest.get("lww_order", ["warc_ts", "_lsn"]))
+
+    @property
     def is_merge_on_read(self) -> bool:
         """True while any bucket holds unresolved delta files (reads must
         LWW-resolve; compaction folds them). Iceberg analog: v2 table with

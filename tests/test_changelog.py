@@ -237,3 +237,62 @@ def test_changelog_cli_replay_and_validation(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["changelog", "--table-path", str(tmp_path / "t"),
               "--from-version", "99", "--out", out])
+
+
+def test_apply_changes_folds_multi_pair_feeds_in_order(spark, tmp_path):
+    """Review-caught (round 2, third pass): concatenated feeds spanning
+    several version pairs must fold pair-by-pair — a flat anti-join/union
+    resurrects a key inserted in pair 1 and deleted in pair 2."""
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=8, salt_buckets=8)
+    l1 = pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    l2 = pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    # pair 3: delete u/d (inserted in pair 2)
+    l3 = pipe.apply_batch(
+        spark, _events(spark, [(7, "delete", "u/d", 20, None)]), batch_id=2
+    )
+    table = LakeTable.load(spark, pipe.table_path)
+    v0 = l1["table_version_before"]
+    feeds = [
+        snapshot_diff(table, l1["table_version_before"], l1["snapshot_id"]),
+        snapshot_diff(table, l2["table_version_before"], l2["snapshot_id"]),
+        snapshot_diff(table, l3["table_version_before"], l3["snapshot_id"]),
+    ]
+    concat = feeds[0]
+    for f in feeds[1:]:
+        concat = concat.unionByName(f)
+    before = table.at_version(v0, schema_from=table.manifest_at(l3["snapshot_id"])).read()
+    rebuilt = apply_changes(before, concat, key="url")
+    want = {tuple(r) for r in table.at_version(l3["snapshot_id"]).read().collect()}
+    got = {tuple(r) for r in rebuilt.collect()}
+    assert got == want
+    assert "u/d" not in {r.url for r in rebuilt.collect()}  # not resurrected
+
+
+def test_changelog_crash_window_heals_on_replay(spark, tmp_path):
+    """Review-caught (round 2, third pass): a crash between the table commit
+    and the feed write must be healed by the replayed (gated) batch — the
+    docstring's 'rerun rebuilds the identical feed' promise."""
+    out = str(tmp_path / "feed")
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / "t"), n_buckets=8, salt_buckets=8,
+        changelog_dir=out,
+    )
+    pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    # simulate the crash window: batch 2 commits WITHOUT a changelog dir
+    pipe_nofeed = CdcPipeline(
+        table_path=str(tmp_path / "t"), n_buckets=8, salt_buckets=8,
+    )
+    pipe_nofeed.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    assert len(os.listdir(out)) == 1  # pair 2's feed is missing
+    # restart replays batch 2 -> gated skipped -> heal materializes the pair
+    lin = pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=2)
+    assert lin["skipped"]
+    dirs = sorted(os.listdir(out))
+    assert len(dirs) == 2
+    feed = spark.read.parquet(os.path.join(out, dirs[-1]))
+    assert _typed(feed.collect()) == {
+        ("update_before", "u/a", "a1"),
+        ("update_after", "u/a", "a2"),
+        ("delete", "u/b", "b1"),
+        ("insert", "u/d", "d1"),
+    }
