@@ -7,8 +7,8 @@ Iceberg semantics the CDC loop depends on, behind the same narrow API so the
 real Iceberg catalog is a config switch:
 
 - **atomic snapshot commits**: a table version becomes visible only via an
-  atomic POSIX rename of its manifest file; readers always see a complete
-  snapshot, never a partial write,
+  exclusive ``os.link`` publish of its manifest file (EEXIST = commit
+  conflict); readers always see a complete snapshot, never a partial write,
 - **snapshot properties**: arbitrary key/value properties committed
   atomically WITH the data (this is what makes the LSN watermark exactly-once
   — SURVEY.md §2.4 step 5),

@@ -8,10 +8,11 @@ Layout on disk (all paths relative to the table root):
 A manifest is the complete table state: schema history, bucket -> data-file
 map, snapshot properties, lineage of the committing batch. The *latest*
 snapshot is the manifest with the highest version number; commit = write
-temp file + atomic ``os.rename`` (fails if the target exists -> optimistic
-concurrency, like an Iceberg commit conflict). A crash between data write
-and manifest rename leaves only invisible orphan files — the table state is
-unchanged, and the CDC watermark gate makes the retried batch idempotent.
+temp file (fsync) + exclusive ``os.link`` publish (+ directory fsync) —
+EEXIST on the link IS the optimistic-concurrency conflict, like an Iceberg
+commit conflict. A crash between data write and manifest publish leaves only
+invisible orphan files — the table state is unchanged, and the CDC watermark
+gate makes the retried batch idempotent.
 
 Scale notes (the design target is a 1000-executor cluster over ~100 TB):
 
@@ -110,7 +111,8 @@ class LakeTable:
             "lineage": None,
             # merge-on-read state: True when any bucket holds delta files
             # whose rows must be LWW-resolved at read time by lww_order
-            "mor": False,
+            "mor": False,  # derived: kept for readers; authoritative set below
+            "mor_buckets": [],  # bucket ids holding unresolved delta files
             "lww_order": list(lww_order),
         }
         t._write_manifest(manifest)
@@ -181,7 +183,19 @@ class LakeTable:
         """True while any bucket holds unresolved delta files (reads must
         LWW-resolve; compaction folds them). Iceberg analog: v2 table with
         outstanding delete files / write.merge.mode=merge-on-read."""
-        return bool(self.manifest.get("mor"))
+        return bool(self.mor_buckets) or bool(self.manifest.get("mor"))
+
+    @property
+    def mor_buckets(self) -> set[int]:
+        """Buckets with unresolved deltas. Tables written before per-bucket
+        tracking carry only the global bool — treat every nonempty bucket as
+        unresolved for them."""
+        m = self.manifest
+        if "mor_buckets" in m:
+            return {int(b) for b in m["mor_buckets"]}
+        if m.get("mor"):
+            return {int(b) for b, fs in m["buckets"].items() if fs}
+        return set()
 
     def files_per_bucket(self) -> dict[int, int]:
         """Data-file count per bucket — the maintenance metric the
@@ -215,6 +229,16 @@ class LakeTable:
             os.fsync(f.fileno())
         try:
             os.link(tmp, final)  # atomic + exclusive (EEXIST on conflict)
+            # fsync the DIRECTORY too: without it a power loss after commit
+            # returned success can lose the dirent while the streaming
+            # checkpoint (separately persisted) has already marked the batch
+            # done — the one ordering that breaks exactly-once
+            # (review-caught)
+            dfd = os.open(mdir, os.O_DIRECTORY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         except FileExistsError:
             raise RuntimeError(
                 f"commit conflict: snapshot v{manifest['version']} already exists"
@@ -352,10 +376,11 @@ class LakeTable:
         the bucket-pruned side of the MERGE. ``resolve=True`` applies
         merge-on-read LWW resolution (raw duplicates otherwise; the COW merge
         resolves in its own aggregate anyway)."""
+        wanted = set(bucket_ids)
         entries = [
             e
             for b, files in self.manifest["buckets"].items()
-            if int(b) in set(bucket_ids)
+            if int(b) in wanted
             for e in files
         ]
         df = self._read_files(entries)
@@ -409,6 +434,13 @@ class LakeTable:
                         "schema_version": m["schema_version"],
                     }
                 )
+        stray = set(new_files) - set(touched_buckets)
+        if stray:
+            raise ValueError(
+                f"replace_buckets: rows landed in buckets {sorted(stray)} "
+                f"outside touched_buckets {sorted(touched_buckets)} — refusing "
+                f"to commit (the stray rows would be silently orphaned)"
+            )
         for b in touched_buckets:
             m["buckets"][str(b)] = new_files.get(b, [])
         if properties:
@@ -446,6 +478,11 @@ class LakeTable:
                     {"path": rel, "schema_version": m["schema_version"]}
                 )
         m["mor"] = True
+        prior = set(m.get("mor_buckets", []))
+        m["mor_buckets"] = sorted(
+            prior | {int(os.path.basename(d).split("=", 1)[1])
+                     for d in glob.glob(os.path.join(tx_dir, "_bucket=*"))}
+        )
         if properties:
             m["properties"].update(properties)
         m["lineage"] = lineage
@@ -485,14 +522,23 @@ class LakeTable:
             "_bucket", self.bucket_expr()
         )
         compacted = df.repartition(len(buckets), F.col("_bucket"))
-        all_buckets = {int(b) for b, fs in self.manifest["buckets"].items() if fs}
         version = self.replace_buckets(
             compacted, buckets, lineage={"compaction": True, "buckets": buckets}
         )
-        if self.manifest.get("mor") and all_buckets <= set(buckets):
+        # per-bucket accounting: compacted buckets are resolved; the global
+        # flag clears when NO bucket holds deltas (review-caught: a single
+        # global bool forced a full-table resolve on every read forever
+        # after any PARTIAL compaction — steady-state auto-compaction never
+        # compacts every bucket at once)
+        remaining = sorted(self.mor_buckets - set(buckets))
+        if self.is_merge_on_read:
             m = self._next_manifest()
-            m["mor"] = False
-            m["lineage"] = {"compaction_mor_cleared": True}
+            m["mor_buckets"] = remaining
+            m["mor"] = bool(remaining)
+            m["lineage"] = {
+                "compaction_mor_buckets_cleared": sorted(set(buckets)),
+                "mor_buckets_remaining": remaining,
+            }
             self._write_manifest(m)
             self._manifest = m
             version = m["version"]
@@ -503,10 +549,18 @@ class LakeTable:
         bucket the key hashes into — at 100 TB this reads a few files, not
         the table. Returns 0 or 1 rows (post LWW-resolution, tombstones
         filtered)."""
+        # cast the literal to the KEY COLUMN's type before hashing: Spark's
+        # xxhash64 hashes int and bigint differently, so an uncast Python int
+        # literal would land in the wrong bucket for a bigint key
+        # (review-caught)
+        key_type = self.schema[self.key_col].dataType
         bucket = (
             self.spark.range(1)
             .select(
-                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(self.n_buckets)).alias("b")
+                F.pmod(
+                    F.xxhash64(F.lit(key_value).cast(key_type)),
+                    F.lit(self.n_buckets),
+                ).alias("b")
             )
             .collect()[0]["b"]
         )
@@ -521,13 +575,8 @@ class LakeTable:
 
     def snapshot(self, version: int) -> "LakeTable":
         """Time travel: a read-only view of the table at an earlier snapshot
-        (every manifest is immutable, so this is just pinning)."""
-        path = os.path.join(self.path, "manifests", f"v{version:08d}.json")
-        with open(path) as f:
-            manifest = json.load(f)
-        t = LakeTable(self.spark, self.path)
-        t._manifest = manifest
-        return t
+        (alias of :meth:`at_version` kept for the original API)."""
+        return self.at_version(version)
 
     # ------------------------------------------------------------- evolution
 
@@ -550,6 +599,19 @@ class LakeTable:
         fields = list(cur.fields)
         names = [f.name for f in fields]
         new_sv = m["schema_version"] + 1
+
+        def chase(name: str) -> str:
+            # follow the rename history so a replayed op from before a later
+            # rename epoch checks against the column's CURRENT name — else a
+            # replay straddling a rename wedges ('cannot widen missing x')
+            # or re-adds a spurious column (review-caught)
+            for r in m["renames"]:
+                if r["old"] == name:
+                    name = r["new"]
+            return name
+
+        widens = m.setdefault("widens", [])
+        adds = m.setdefault("adds", [])
         widen_ok = {
             ("int", "bigint"),
             ("smallint", "int"),
@@ -565,11 +627,20 @@ class LakeTable:
         for op in ops:
             if isinstance(op, AddColumn):
                 want = T._parse_datatype_string(op.type)
+                # the ADD HISTORY distinguishes a replay (this exact add was
+                # applied before — possibly renamed/widened since) from a
+                # genuine re-add of a retired name (review-caught: a pure
+                # name-chase skipped legitimate re-adds; a pure name check
+                # wedged replays that straddle a rename epoch)
+                if any(
+                    a["name"] == op.name and a["type"] == want.simpleString()
+                    for a in adds
+                ):
+                    continue
                 if op.name in names:
                     have = fields[names.index(op.name)].dataType
                     # already applied if present with the wanted type OR a
-                    # valid widening of it (replaying an add from before a
-                    # later widen epoch)
+                    # valid widening of it (pre-history manifests)
                     if have == want or (
                         want.simpleString(),
                         have.simpleString(),
@@ -581,6 +652,13 @@ class LakeTable:
                     )
                 fields.append(T.StructField(op.name, want, True))
                 names.append(op.name)
+                adds.append(
+                    {
+                        "name": op.name,
+                        "type": want.simpleString(),
+                        "at_schema_version": new_sv,
+                    }
+                )
                 changed = True
             elif isinstance(op, RenameColumn):
                 # Replay detection uses the manifest's RENAME HISTORY, which
@@ -611,25 +689,36 @@ class LakeTable:
                 )
                 changed = True
             elif isinstance(op, WidenColumn):
-                if op.name not in names:
+                cur_name = chase(op.name)
+                if cur_name not in names:
                     raise ValueError(f"cannot widen missing column {op.name}")
-                i = names.index(op.name)
+                i = names.index(cur_name)
                 old_t = fields[i].dataType.simpleString()
                 new_t = T._parse_datatype_string(op.new_type)
-                if old_t == new_t.simpleString() or (
-                    new_t.simpleString(),
-                    old_t,
-                ) in widen_ok:
-                    # replayed op — already at the target type, or a LATER
-                    # widen epoch already took the column past it (replaying
-                    # epoch k after epoch k+n widened further must no-op,
-                    # not wedge the stream; review-caught, round 2)
+                replayed = any(
+                    chase(w["name"]) == cur_name and w["to"] == new_t.simpleString()
+                    for w in widens
+                )
+                if old_t == new_t.simpleString() or replayed:
+                    # replayed op — already at the target type, or the WIDEN
+                    # HISTORY records this exact step (a later epoch may have
+                    # widened further; history is what distinguishes a replay
+                    # from a genuinely incompatible narrowing request, which
+                    # must hard-fail — review-caught x2, round 2)
                     continue
                 if (old_t, new_t.simpleString()) not in widen_ok:
                     raise ValueError(
                         f"incompatible widen {op.name}: {old_t} -> {new_t.simpleString()}"
                     )
-                fields[i] = T.StructField(op.name, new_t, True)
+                fields[i] = T.StructField(cur_name, new_t, True)
+                widens.append(
+                    {
+                        "name": cur_name,
+                        "from": old_t,
+                        "to": new_t.simpleString(),
+                        "at_schema_version": new_sv,
+                    }
+                )
                 changed = True
             else:  # pragma: no cover
                 raise TypeError(f"unknown evolution op {op!r}")

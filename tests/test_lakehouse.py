@@ -203,3 +203,86 @@ def test_concurrent_writer_conflict_then_retry_exactly_once(spark, tmp_path):
     # and a SECOND retry is gated off (idempotent)
     lin2 = apply_cdc_batch(retry, chunk(51, 80), batch_id=2)
     assert lin2["skipped"]
+
+
+def test_lookup_hashes_with_key_column_type(spark, tmp_path):
+    """Review-caught (round 2, fourth pass): xxhash64 hashes int and bigint
+    differently — lookup must cast the key literal to the key column's type
+    or integer keys land in the wrong bucket and read 0 rows."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("rec_id", T.LongType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, key_col="rec_id", n_buckets=8,
+        lww_order=("_lsn",),
+    )
+    df = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(40)], schema
+    )
+    t.append_bucketed(df)
+    for k in (0, 7, 39):
+        rows = t.lookup(k).collect()
+        assert len(rows) == 1 and rows[0].payload == f"p{k}"
+
+
+def test_partial_compaction_clears_mor_per_bucket(spark, tmp_path):
+    """Review-caught (round 2, fourth pass): the MOR flag is per-bucket —
+    compacting the delta-bearing buckets clears merge-on-read even when
+    OTHER nonempty buckets were never compacted (the global-bool version
+    forced a full-table resolve on every read forever)."""
+    import datetime as dt
+
+    from migration_pair_spark.cdc.apply import apply_cdc_batch
+    from migration_pair_spark.cdc.runner import CHANGE_STREAM_SCHEMA, CdcPipeline
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def chunk(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, "insert", f"u/{i}", t0, b"<p>x</p>", "en", None, 200, 1)
+                for i in range(lo, hi + 1)
+            ],
+            CHANGE_STREAM_SCHEMA,
+        )
+
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=8, salt_buckets=4)
+    table = pipe.ensure_table(spark)
+    apply_cdc_batch(table, chunk(1, 60), batch_id=0, write_mode="cow")
+    # one MOR batch touching a subset of keys -> deltas in a subset of buckets
+    apply_cdc_batch(table, chunk(61, 64), batch_id=1, write_mode="mor")
+    table.refresh()
+    delta_buckets = sorted(table.mor_buckets)
+    assert delta_buckets and len(delta_buckets) < 8
+    table.compact(delta_buckets)  # PARTIAL compaction: only those buckets
+    table.refresh()
+    assert not table.is_merge_on_read  # flag cleared without full compaction
+    assert table.read().count() == 64
+
+
+def test_replace_buckets_refuses_stray_rows(spark, tmp_path):
+    """Review-caught (round 2, fourth pass): rows landing outside
+    touched_buckets must fail the commit, not vanish as orphans."""
+    from migration_pair_spark.cdc.runner import PAGES_SCHEMA
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), PAGES_SCHEMA, key_col="url", n_buckets=8
+    )
+    df = (
+        spark.createDataFrame([("u/a",), ("u/b",), ("u/c",)], "url string")
+        .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("text", F.lit(None).cast("string"))
+        .withColumn("lang", F.lit(None).cast("string"))
+        .withColumn("_lsn", F.lit(1).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+        .withColumn("_bucket", t.bucket_expr())
+    )
+    buckets = sorted({r._bucket for r in df.select("_bucket").collect()})
+    with pytest.raises(ValueError, match="outside touched_buckets"):
+        t.replace_buckets(df, touched_buckets=buckets[:1])

@@ -68,11 +68,11 @@ def test_evolve_schema_op_replay_is_idempotent(spark, tmp_path):
         t.evolve_schema([AddColumn("fetch_status", "string")])
     with pytest.raises(ValueError):
         t.evolve_schema([WidenColumn("fetch_status", "string")])
-    # a widen to a NARROWER type is indistinguishable from replaying an
-    # earlier widen after a later epoch widened further — it must no-op
-    # (leaving the wider type), never narrow and never wedge the stream
-    v2 = t.evolve_schema([WidenColumn("fetch_status", "int")])
-    assert v2 == v
+    # genuine NARROWING hard-fails again: the widen HISTORY distinguishes
+    # a replay (recorded step) from a misconfigured narrowing request
+    # (epoch 3 widened int->long; no epoch ever targeted 'int' from here)
+    with pytest.raises(ValueError, match="incompatible widen"):
+        t.evolve_schema([WidenColumn("fetch_status", "int")])
     assert t.schema["fetch_status"].dataType == T.LongType()
 
 
@@ -145,3 +145,32 @@ def test_genuine_rename_collision_still_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="target column already exists"):
         t.evolve_schema([RenameColumn("lang", "language")])
+
+
+def test_replay_straddling_rename_epoch_is_idempotent(spark, tmp_path):
+    """Review-caught (round 2, fourth pass): a replay window spanning a
+    widen epoch AND a later rename epoch must no-op both ops — the widen
+    chases the rename history to the current name; the add consults the add
+    history instead of re-adding a spurious column."""
+    from migration_pair_spark.lakehouse.table import (
+        AddColumn, LakeTable, RenameColumn, WidenColumn,
+    )
+    import pyspark.sql.types as T
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("url", T.StringType())]),
+        key_col="url", n_buckets=4,
+    )
+    t.evolve_schema([AddColumn("x", "int")])       # epoch k-1
+    t.evolve_schema([WidenColumn("x", "bigint")])  # epoch k
+    t.evolve_schema([RenameColumn("x", "y")])      # epoch k+1
+    v = t.version
+    # crash-replay of all three epochs' ops, post-rename
+    t.evolve_schema([AddColumn("x", "int")])
+    t.evolve_schema([WidenColumn("x", "bigint")])
+    t.evolve_schema([RenameColumn("x", "y")])
+    assert t.version == v  # all no-ops
+    names = [f.name for f in t.schema.fields]
+    assert names == ["url", "y"]  # no spurious 'x' re-added
+    assert t.schema["y"].dataType.simpleString() == "bigint"
