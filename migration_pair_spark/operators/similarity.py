@@ -276,32 +276,44 @@ def ann_lsh_topk(
     )
 
 
-def neardup_pairs_lsh(
+def neardup_params(threshold: float) -> tuple[int, int]:
+    """Threshold-adaptive SRP parameterization (n_planes, n_tables).
+
+    SRP collision probability per table is ``(1 - theta/pi)^n_planes``; the
+    knee that makes LSH *selective* (candidates a few percent of all pairs
+    while recall stays ~1) moves with the threshold:
+
+    - cosine >= 0.8 (production near-dup regime — quasi-duplicate training
+      documents): (8, 8). A random/orthogonal pair collides in a table with
+      p = 0.5^8 = 0.0039, union over 8 tables ~3% of pairs; a cosine-0.99
+      pair is caught with p > 0.9999. Candidate volume is pinned (< 5% of
+      all pairs) in tests/test_operators.py on the planted hi-sim fixture.
+    - 0.6 <= cosine < 0.8: (4, 16).
+    - cosine < 0.6 (this repo's synthetic corpus, 'near-dups' at 0.35-0.5
+      where ANY LSH family is weakly selective): (2, 24), tuned for recall
+      1.0 vs the all-pairs oracle at every shipped sf — the regime the
+      low-threshold CORRECTNESS row proves exact."""
+    if threshold >= 0.8:
+        return 8, 8
+    if threshold >= 0.6:
+        return 4, 16
+    return 2, 24
+
+
+def neardup_candidates_lsh(
     emb: DataFrame,
-    threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 2,
     n_tables: int = 24,
     dim: int = EMB_DIM,
-    round_to: int = 4,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs, scale-shaped: SRP bucket self-join for
-    candidates (ids only through the distinct), exact integer-quantized
-    cosine verify >= ``threshold``. Mirrors the candidates+verify structure
-    of operators/dedup.lsh_dup_pairs; no all-pairs join.
-
-    Parameterization honesty: SRP selectivity depends on the threshold.
-    At production near-dup thresholds (cosine >= 0.9, i.e. quasi-duplicate
-    training documents) use n_planes=8, n_tables=8 — candidates prune to a
-    few percent of pairs. The default (2, 24) targets this repo's synthetic
-    corpus, whose 'near-dups' sit at cosine 0.35-0.5 where any LSH family is
-    weakly selective; it is tuned for recall 1.0 vs the all-pairs oracle at
-    every shipped sf (verified in tests/test_operators.py), which is what
-    keeps the CORRECTNESS row exact."""
+    """SRP bucket self-join candidate pairs (vec_a < vec_b), ids only through
+    the distinct. Exposed separately from :func:`neardup_pairs_lsh` so tests
+    can pin candidate VOLUME (selectivity), not just plan shape."""
     w = srp_weights(n_tables, n_planes, dim)
     b = _srp_bucket_rows(emb, "vec_id_x", id_col, vec_col, w)
-    cand = (
+    return (
         b.alias("a")
         .join(
             b.alias("b"),
@@ -313,6 +325,36 @@ def neardup_pairs_lsh(
             F.col("a.vec_id_x").alias("vec_a"), F.col("b.vec_id_x").alias("vec_b")
         )
         .distinct()
+    )
+
+
+def neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    dim: int = EMB_DIM,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs, scale-shaped: SRP bucket self-join for
+    candidates (ids only through the distinct), exact integer-quantized
+    cosine verify >= ``threshold``. Mirrors the candidates+verify structure
+    of operators/dedup.lsh_dup_pairs; no all-pairs join.
+
+    ``n_planes``/``n_tables`` default to the threshold-adaptive
+    :func:`neardup_params` — at production thresholds (>= 0.8) candidates
+    prune to a few percent of all pairs (volume pinned in
+    tests/test_operators.py); at this repo's synthetic low-threshold regime
+    the parameters are tuned for recall 1.0 vs the all-pairs oracle."""
+    if n_planes is None or n_tables is None:
+        d_planes, d_tables = neardup_params(threshold)
+        n_planes = n_planes if n_planes is not None else d_planes
+        n_tables = n_tables if n_tables is not None else d_tables
+    cand = neardup_candidates_lsh(
+        emb, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, dim=dim,
     )
     qa = _quantized_side(emb, "vec_a", id_col, vec_col)
     qb = _quantized_side(emb, "vec_b", id_col, vec_col)
@@ -414,6 +456,124 @@ def neardup_oracle_sql(threshold: float = 0.35) -> str:
     the LSH pipeline agrees with itself."""
     return f"""
     WITH {_QUANT_EX},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.q * b.q) AS dot
+        FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    sims AS (
+        SELECT vec_a, vec_b,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS sim
+        FROM dots JOIN norms na ON na.vec_id = vec_a
+                  JOIN norms nb ON nb.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, round(sim, 4) AS cosine
+    FROM sims WHERE sim >= {threshold}
+    """
+
+
+# ------------------------------------------- production-regime hi-sim fixture
+
+HI_DUP_EVERY = 5
+HI_ID_OFFSET = 1_000_000
+HI_AMP = 0.1
+
+
+def hi_sim_corpus(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dup_every: int = HI_DUP_EVERY,
+    id_offset: int = HI_ID_OFFSET,
+    amp: float = HI_AMP,
+) -> DataFrame:
+    """Deterministic production-regime corpus DERIVED from the embeddings
+    table (no external data): every ``dup_every``-th vector gets a planted
+    near-duplicate at ``vec_id + id_offset`` whose elements are scaled by
+    ``1 +- amp`` (sign from ``md5('hi{id}i{i}')`` — the same engine-neutral
+    coin as :func:`srp_weights`, so the DuckDB oracle regenerates the corpus
+    bit-identically).
+
+    Geometry: elementwise scaling by 1+-amp with random signs keeps
+    cosine(original, dup) ~= 1/sqrt(1+amp^2) (~0.995 at amp=0.1) while
+    background pairs stay at the corpus's own spread (<~0.5) — so a 0.9
+    threshold separates planted pairs from background by a wide margin, the
+    regime where SRP-LSH is genuinely selective. All arithmetic is
+    double-precision IEEE ops both engines round identically, and the
+    quantized integer pipeline downstream is exact, so the all-pairs oracle
+    remains EXACT, not approximate."""
+    def _sign(i):
+        return F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("hi"),
+                        F.col(id_col).cast("string"),
+                        F.lit("i"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            < "8",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+
+    # both branches are narrow projections — the fixture adds ZERO shuffles
+    base = emb.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
+    )
+    # two selects: the perturbation must see the ORIGINAL id (the md5 coin is
+    # seeded by it), and Spark's lateral-column-alias resolution would bind
+    # the lambda's id reference to a same-select `id + offset` alias
+    dups = (
+        emb.filter(F.col(id_col) % dup_every == 0)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: x.cast("double") * (F.lit(1.0) + F.lit(amp) * _sign(i)),
+            ).alias(vec_col),
+        )
+        .select((F.col(id_col) + id_offset).alias(id_col), F.col(vec_col))
+    )
+    return base.unionByName(dups)
+
+
+def _hi_ex_sql(
+    dup_every: int = HI_DUP_EVERY, id_offset: int = HI_ID_OFFSET, amp: float = HI_AMP
+) -> str:
+    """DuckDB CTEs regenerating :func:`hi_sim_corpus` in quantized space:
+    same md5 coin, same double ops in the same order (x * factor, then
+    * QUANT, then round) — identical BIGINTs by IEEE determinism."""
+    return f"""
+    ex0 AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+               CAST(unnest(range(len(embedding))) AS INT) AS i
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT vec_id, CAST(round(v * {QUANT}) AS BIGINT) AS q, i FROM ex0
+        UNION ALL
+        SELECT vec_id + {id_offset},
+               CAST(round((v * (1.0 + {amp!r} * (CASE WHEN substr(md5('hi' || CAST(vec_id AS VARCHAR) || 'i' || CAST(i AS VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END))) * {QUANT}) AS BIGINT),
+               i
+        FROM ex0 WHERE vec_id % {dup_every} = 0
+    ),
+    norms AS (SELECT vec_id, sum(q * q) AS n2 FROM ex GROUP BY vec_id)
+"""
+
+
+def neardup_hi_oracle_sql(threshold: float = 0.9) -> str:
+    """All-pairs ground truth over the derived hi-sim corpus (same quantized
+    cosine): the production-regime twin of :func:`neardup_oracle_sql`. The
+    LSH operator at threshold-adaptive (8 planes, 8 tables) must return
+    EXACTLY this set — recall 1.0 at a setting where candidates are also
+    pinned to < 5% of all pairs (volume assertion in tests)."""
+    return f"""
+    WITH {_hi_ex_sql()},
     dots AS (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.q * b.q) AS dot
         FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id

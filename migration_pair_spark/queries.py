@@ -847,6 +847,21 @@ def embedding_neardup_pairs(spark, sf_dir):
 
 
 @q(
+    "embedding_neardup_pairs_hi",
+    similarity.neardup_hi_oracle_sql(threshold=0.9),
+    "PRODUCTION-regime embedding near-dup: planted quasi-duplicates "
+    "(cosine ~0.995, derived deterministically from the embeddings table) "
+    "over the corpus background, threshold 0.9, threshold-adaptive "
+    "(8 planes, 8 tables) SRP — the regime where LSH is SELECTIVE "
+    "(candidates < 5% of all pairs, volume-pinned in tests) while the "
+    "all-pairs oracle still proves recall 1.0",
+)
+def embedding_neardup_pairs_hi(spark, sf_dir):
+    hi = similarity.hi_sim_corpus(t(spark, sf_dir, "embeddings"))
+    return similarity.neardup_pairs_lsh(hi, threshold=0.9)
+
+
+@q(
     "embedding_ann_lsh",
     similarity.ann_lsh_oracle_sql(k=3, n_planes=4, n_tables=8, query_max_id=5),
     "LSH-bucketed approximate nearest neighbors (scale path; exact integer-"

@@ -138,6 +138,53 @@ def test_neardup_lsh_equals_all_pairs_ground_truth(spark):
     assert got == want
 
 
+def test_neardup_hi_production_regime_selective(spark):
+    """Production-threshold regime (cosine >= 0.9, planted quasi-duplicates):
+    the threshold-adaptive (8 planes, 8 tables) SRP must be SELECTIVE —
+    candidate VOLUME < 5% of all pairs (the round-2 verdict's scale-killer:
+    shipped low-threshold parameters made ~99.9% of pairs candidates behind
+    an equi-join shape) — while still achieving recall 1.0 vs the all-pairs
+    ground truth recomputed in numpy."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hi = similarity.hi_sim_corpus(emb)
+    n = hi.count()
+    all_pairs = n * (n - 1) // 2
+    n_planes, n_tables = similarity.neardup_params(0.9)
+    assert (n_planes, n_tables) == (8, 8)
+    n_cand = similarity.neardup_candidates_lsh(
+        hi, n_planes=n_planes, n_tables=n_tables
+    ).count()
+    assert n_cand < 0.05 * all_pairs, (
+        f"LSH not selective: {n_cand}/{all_pairs} pairs are candidates"
+    )
+
+    got = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.neardup_pairs_lsh(hi, threshold=0.9).collect()
+    }
+    pdf = hi.toPandas()
+    q = np.round(np.stack(pdf["embedding"].map(np.asarray)) * 1e6).astype(np.int64)
+    ids = pdf["vec_id"].to_numpy()
+    n2 = (q * q).sum(1).astype(np.float64)
+    S = (q @ q.T).astype(np.float64) / np.sqrt(np.outer(n2, n2))
+    iu = np.triu_indices(len(ids), 1)
+    want = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))): round(S[a, b], 4)
+        for a, b in zip(*iu)
+        if S[a, b] >= 0.9
+    }
+    assert got == want
+    # every planted (id, id + offset) pair is present — the fixture really
+    # plants quasi-duplicates and the operator really finds them all
+    planted = {
+        (int(i), int(i) + similarity.HI_ID_OFFSET)
+        for i in ids
+        if i < similarity.HI_ID_OFFSET and i % similarity.HI_DUP_EVERY == 0
+    }
+    assert planted <= set(want)
+    assert all(c >= 0.97 for (a, b), c in got.items() if (a, b) in planted)
+
+
 def test_dedup_clusters_connected_components(spark):
     """Min-label propagation: a 4-hop chain needs multiple rounds; separate
     components stay separate; singletons keep themselves."""
