@@ -142,8 +142,47 @@ def apply_cdc_batch(
         (measured: COW sustained throughput degrades with table size as
         every micro-batch rewrites nearly the whole table)."""
     t0 = time.monotonic()
+    phase_ms: dict[str, int] = {}  # per-phase wall breakdown (lineage)
+
+    def _mark(name: str, since: float) -> float:
+        now = time.monotonic()
+        phase_ms[name] = phase_ms.get(name, 0) + int((now - since) * 1000)
+        return now
+
     table.refresh()  # another writer (or a previous incarnation) may have committed
 
+    # AQE off for the apply's own jobs (saved/restored): a micro-batch apply
+    # is a fixed-shape agg→write pipeline with NO joins — the LWW aggregate
+    # is skew-immune via map-side combine, and partitions are already sized
+    # by config — so runtime re-planning has nothing to improve, while its
+    # per-stage materialization barrier + driver re-plan costs ~1 s of
+    # core-count-independent time per batch (measured, BENCH/BASELINE.md).
+    # Analytical queries keep the session default (joins DO benefit).
+    # (Session comes from the batch, not the table — the target behind the
+    # UpsertTarget seam need not expose one, tests/test_interface.py.)
+    spark = batch.sparkSession
+    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _apply_cdc_batch_inner(
+            table, batch, batch_id, epoch_registry, extract_text, write_mode,
+            t0, phase_ms, _mark,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
+
+
+def _apply_cdc_batch_inner(
+    table: LakeTable,
+    batch: DataFrame,
+    batch_id: int,
+    epoch_registry: "dict[int, list] | None",
+    extract_text: bool,
+    write_mode: str,
+    t0: float,
+    phase_ms: dict,
+    _mark,
+) -> dict:
     # -- 1-2: applied-interval gate ------------------------------------------
     # One column-pruned pass over the batch yields the gate stats, the
     # touched-bucket set (winner urls == distinct batch urls, so the fresh
@@ -158,6 +197,7 @@ def apply_cdc_batch(
     # back to one interval, which their callers (backfill, apply_batch on a
     # DataFrame) are contractually single chunks anyway.
     applied = load_applied_ranges(table.properties)
+    t_phase = time.monotonic()
     is_stale = covered_expr(F.col("change_lsn"), applied)
     per_group = (
         batch.groupBy(
@@ -174,6 +214,7 @@ def apply_cdc_batch(
         )
         .collect()
     )
+    t_phase = _mark("gate", t_phase)
 
     from types import SimpleNamespace
 
@@ -199,6 +240,18 @@ def apply_cdc_batch(
     touched = sorted(
         {r["_b"] for r in per_group if r["n"] > (r["n_stale"] or 0)}
     )
+    # Per-bucket applied-row counts (FIXTURES F4 partition_counts) fold out
+    # of the SAME gate pass — zero extra aggregate expressions, bounded
+    # driver state O(touched). Semantics: fresh change events applied into
+    # the bucket (pre-LWW-dedup; a key's losing duplicate within the batch
+    # was still applied). Round 2 counted post-merge survivors via one
+    # observe aggregate PER TOUCHED BUCKET, which builds 4096 expressions
+    # for a full-spread batch on a 4096-bucket table (verdict item 7).
+    bucket_counts: dict[int, int] = {}
+    for r in per_group:
+        fresh_n = int(r["n"]) - int(r["n_stale"] or 0)
+        if fresh_n > 0:
+            bucket_counts[int(r["_b"])] = bucket_counts.get(int(r["_b"]), 0) + fresh_n
     lineage_base = {
         "batch_id": batch_id,
         "lsn_min": int(stats.lsn_min) if stats.lsn_min is not None else None,
@@ -226,6 +279,7 @@ def apply_cdc_batch(
             if ops:
                 table.evolve_schema(ops)
         epoch_props[EPOCH_PROP] = str(max_epoch)
+    t_phase = _mark("evolve", t_phase)
 
     fresh = batch.filter(~covered_expr(F.col("change_lsn"), applied))
 
@@ -307,8 +361,9 @@ def apply_cdc_batch(
     # re-chunked unit's span can straddle previously-applied interior LSNs
     # (whose stored rows re-read from touched buckets in COW), and mere
     # absence from `applied` would count backfill rows (_lsn=0). Both were
-    # review-caught, round 2. The per-bucket breakdown is len(touched)
-    # conditional counts — bounded by n_buckets, folded into the same pass.
+    # review-caught, round 2. Exactly TWO aggregate expressions regardless
+    # of bucket spread — the per-bucket breakdown comes from the gate pass
+    # (bucket_counts above), not from per-bucket observes (verdict item 7).
     from pyspark.sql import Observation
 
     fresh_landed = covered_expr(
@@ -318,13 +373,9 @@ def apply_cdc_batch(
     obs_metrics = [
         F.count(F.when(fresh_landed & ~F.col("_deleted"), 1)).alias("_up"),
         F.count(F.when(fresh_landed & F.col("_deleted"), 1)).alias("_del"),
-    ] + [
-        F.count(F.when(fresh_landed & (F.col("_bucket") == F.lit(b)), 1)).alias(
-            f"_b{b}"
-        )
-        for b in touched
     ]
 
+    t_phase = _mark("plan", t_phase)
     if write_mode == "mor":
         # merge-on-read: append the winners as delta files — write cost is
         # O(batch); the cross-batch LWW guard moves to read/compaction time
@@ -340,11 +391,24 @@ def apply_cdc_batch(
         # winners and re-resolve. The heavy pipeline (dedup + extraction)
         # flows exactly ONCE, straight into the write. At most 2 resolved
         # rows per key meet in the re-rank (stored row + batch winner).
-        current = table.read_buckets(touched).withColumn(
-            "_bucket", table.bucket_expr()
-        )
-        merged = current.unionByName(winners_phys)
-        final = lww_dedup_agg(merged, key_cols=(key,), order_cols=stored_order)
+        # When every touched bucket is EMPTY (initial load / first batches
+        # of a fresh table) the winners ARE the final content — skip the
+        # empty union and the whole second hash-agg pass over the batch
+        # (measured: the re-agg of 2.4M extracted rows is a full extra
+        # aggregate over the heaviest columns).
+        # files_per_bucket is the UpsertTarget seam's maintenance metric
+        # (Iceberg: manifest entries per bucket partition) — also exactly
+        # the emptiness probe needed here, and stays inside the seam.
+        fpb = table.files_per_bucket()
+        has_current = any(fpb.get(b) for b in touched)
+        if has_current:
+            current = table.read_buckets(touched).withColumn(
+                "_bucket", table.bucket_expr()
+            )
+            merged = current.unionByName(winners_phys)
+            final = lww_dedup_agg(merged, key_cols=(key,), order_cols=stored_order)
+        else:
+            final = winners_phys
         new_version = table.replace_buckets(
             final.observe(obs, *obs_metrics),
             touched,
@@ -352,13 +416,16 @@ def apply_cdc_batch(
             lineage=lineage,
         )
 
+    t_phase = _mark("write_commit", t_phase)
     observed = obs.get  # available immediately: the write action completed
     lineage["rows_upserted"] = int(observed["_up"])
     lineage["rows_deleted"] = int(observed["_del"])
     lineage["partition_counts"] = {
-        str(b): int(observed[f"_b{b}"]) for b in touched if observed[f"_b{b}"]
+        str(b): int(n) for b, n in sorted(bucket_counts.items())
     }
     lineage["snapshot_id"] = new_version
+    _mark("post", t_phase)
+    lineage["phase_ms"] = phase_ms
     lineage["wall_ms"] = int((time.monotonic() - t0) * 1000)
     # Append-only per-table audit log (manifest holds the same record).
     _append_lineage(table, lineage)
