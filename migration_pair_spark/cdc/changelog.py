@@ -156,6 +156,64 @@ def apply_changes(state: DataFrame, feed: DataFrame, key: str) -> DataFrame:
     return state
 
 
+def last_emitted_version(out_dir: str) -> int | None:
+    """Highest ``v_to`` among completed feed directories — the feed's own
+    durable high-water mark (derived from the _DONE markers, never from
+    writer memory, so deferred emission has NO crash window: a death at any
+    point leaves the span open and the next emission re-covers it)."""
+    import glob
+
+    vs = []
+    for done in glob.glob(os.path.join(out_dir, "v*-v*", "_DONE")):
+        name = os.path.basename(os.path.dirname(done))
+        vs.append(int(name.split("-v")[1]))
+    return max(vs) if vs else None
+
+
+_BASE_MARKER = "_BASE"
+
+
+def ensure_subscription_base(out_dir: str, version: int) -> int:
+    """Record (once) the table version at which this feed directory started
+    subscribing; returns the recorded base. Span emission diffs from
+    max(last emitted, base) so a feed attached to an existing table starts
+    at its attach point — the same semantics per-batch emission gets from
+    each batch's ``table_version_before``."""
+    os.makedirs(out_dir, exist_ok=True)
+    p = os.path.join(out_dir, _BASE_MARKER)
+    if os.path.exists(p):
+        with open(p) as f:
+            return int(f.read().strip())
+    with open(p, "w") as f:
+        f.write(str(version))
+    return version
+
+
+def emit_span(table: LakeTable, out_dir: str) -> str | None:
+    """Deferred (compaction-aligned / on-demand) emission: materialize ONE
+    feed covering (last emitted | subscription base) -> current version.
+
+    Cost shape vs per-batch emission under merge-on-read: the before-image
+    snapshot is the previous emission point — compacted, 1 resolved row per
+    key on disk — and the after-image resolves the accumulated deltas ONCE
+    per span instead of once per batch, so per-batch apply walls carry zero
+    changelog work (measured in scripts/soak.py; per-batch MOR emission
+    halved throughput, BENCH/BASELINE.md).
+
+    Feed semantics: a span feed collapses intermediate churn (an insert
+    then delete of the same key inside one span emits nothing) — by design:
+    the feed is the pure state diff of its two snapshots, and folding span
+    feeds with :func:`apply_changes` reaches the identical state as folding
+    the per-batch feeds (pinned in tests/test_changelog.py)."""
+    table.refresh()
+    v_to = table.version
+    last = last_emitted_version(out_dir)
+    v_from = last if last is not None else ensure_subscription_base(out_dir, v_to)
+    if v_from >= v_to:
+        return None
+    return materialize_changelog(table, out_dir, v_from, v_to)
+
+
 def materialize_changelog(
     table: LakeTable, out_dir: str, v_from: int, v_to: int
 ) -> str | None:

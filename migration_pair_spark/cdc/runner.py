@@ -94,12 +94,30 @@ class CdcPipeline:
     # files, compact the offending buckets right after the commit (0 = never;
     # bounds read amplification of a long-running MOR stream)
     auto_compact_files_per_bucket: int = 0
-    # when set, each committed batch also materializes its snapshot-diff
-    # change feed (insert/delete/update_before/update_after rows) under this
-    # directory — idempotent by version pair, so a crash between the table
-    # commit and the feed write rebuilds the identical feed on replay
+    # when set, the pipeline materializes its snapshot-diff change feed
+    # (insert/delete/update_before/update_after rows) under this directory
     # (cdc/changelog.py)
     changelog_dir: str | None = None
+    # WHEN to emit the feed (None resolves by write mode):
+    #   "per_batch"  — one feed per committed batch (finest granularity;
+    #                  cheap under COW, whose merge materializes both images
+    #                  anyway; idempotent by version pair, crash-healed)
+    #   "on_compact" — deferred span emission at compaction boundaries (the
+    #                  MOR default: per-batch emission re-resolves the
+    #                  accumulated deltas every batch — measured ~2x total
+    #                  cost and growing with delta depth; a span resolves
+    #                  them ONCE and its before-image is the previous
+    #                  compacted emission point)
+    #   "on_demand"  — never automatic; call emit_changelog() explicitly
+    # Span feeds collapse intra-span churn but FOLD to the identical state
+    # as per-batch feeds (tests/test_changelog.py).
+    changelog_emit: str | None = None
+
+    @property
+    def changelog_policy(self) -> str:
+        if self.changelog_emit is not None:
+            return self.changelog_emit
+        return "per_batch" if self.write_mode == "cow" else "on_compact"
 
     def ensure_table(self, spark: SparkSession) -> LakeTable:
         if LakeTable.exists(self.table_path):
@@ -156,26 +174,31 @@ class CdcPipeline:
                 # whole input (review-caught).
                 events = events.persist()
                 lineages = []
-                lo = int(bounds.lo)
-                span = max(int((bounds.hi - bounds.lo + 1) * limit / bounds.n), 1)
-                part = 0
-                while lo <= bounds.hi:
-                    hi = min(lo + span - 1, int(bounds.hi))
-                    chunk = events.filter(
-                        (F.col("change_lsn") >= lo) & (F.col("change_lsn") <= hi)
-                    )
-                    sub = apply_cdc_batch(
-                        table,
-                        chunk,
-                        batch_id=batch_id * 1_000_000 + part,
-                        epoch_registry=self.epoch_registry,
-                        extract_text=self.extract_text,
-                        write_mode=self.write_mode,
-                    )
-                    self._maybe_changelog(table, sub)
-                    lineages.append(sub)
-                    lo, part = hi + 1, part + 1
-                events.unpersist()
+                try:
+                    lo = int(bounds.lo)
+                    span = max(int((bounds.hi - bounds.lo + 1) * limit / bounds.n), 1)
+                    part = 0
+                    while lo <= bounds.hi:
+                        hi = min(lo + span - 1, int(bounds.hi))
+                        chunk = events.filter(
+                            (F.col("change_lsn") >= lo) & (F.col("change_lsn") <= hi)
+                        )
+                        sub = apply_cdc_batch(
+                            table,
+                            chunk,
+                            batch_id=batch_id * 1_000_000 + part,
+                            epoch_registry=self.epoch_registry,
+                            extract_text=self.extract_text,
+                            write_mode=self.write_mode,
+                        )
+                        self._maybe_changelog(table, sub)
+                        lineages.append(sub)
+                        lo, part = hi + 1, part + 1
+                finally:
+                    # unpersist on ALL exits: a commit conflict raised
+                    # mid-chunk-loop (rival writer) must not leak the cached
+                    # input for the session lifetime (advisor-caught)
+                    events.unpersist()
                 applied = [l for l in lineages if not l["skipped"]]
                 # MOR maintenance must run here too: the split path IS the
                 # large-batch path where delta-file accumulation matters most.
@@ -214,7 +237,20 @@ class CdcPipeline:
     def _maybe_changelog(self, table: LakeTable, lineage: dict) -> None:
         if self.changelog_dir is None:
             return
-        from migration_pair_spark.cdc.changelog import materialize_changelog
+        from migration_pair_spark.cdc.changelog import (
+            ensure_subscription_base,
+            materialize_changelog,
+        )
+
+        if self.changelog_policy != "per_batch":
+            # Deferred emission: just pin the subscription base at the FIRST
+            # batch (the pre-batch version), so the eventual span starts
+            # exactly where per-batch emission would have. Emission itself
+            # happens on compaction (_maybe_auto_compact) or on demand.
+            base_v = lineage.get("table_version_before")
+            if base_v is not None:
+                ensure_subscription_base(self.changelog_dir, base_v)
+            return
 
         if lineage.get("skipped"):
             # Crash-window heal: a death between the table commit and the
@@ -255,6 +291,22 @@ class CdcPipeline:
             version = table.compact(over)
             lineage["auto_compacted_buckets"] = over
             lineage["auto_compact_snapshot"] = version
+            if self.changelog_dir is not None and self.changelog_policy == "on_compact":
+                from migration_pair_spark.cdc.changelog import emit_span
+
+                d = emit_span(table, self.changelog_dir)
+                if d:
+                    lineage["changelog_emitted"] = d
+
+    def emit_changelog(self, spark: SparkSession) -> str | None:
+        """On-demand deferred emission: materialize one feed covering
+        everything committed since the last emission (or the subscription
+        base). Idempotent — emitting twice in a row is a no-op."""
+        if self.changelog_dir is None:
+            raise ValueError("changelog_dir is not configured")
+        from migration_pair_spark.cdc.changelog import emit_span
+
+        return emit_span(self.ensure_table(spark), self.changelog_dir)
 
     # ------------------------------------------------------------ streaming
 

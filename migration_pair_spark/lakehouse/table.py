@@ -358,15 +358,25 @@ class LakeTable:
         a cross-version diff needs to compare rows by name. Iceberg analog:
         reading an old snapshot with the table's current schema.
         """
-        m = self.manifest_at(version)
+        m_old = self.manifest_at(version)
+        m = m_old
         if schema_from is not None:
             m = {
                 **schema_from,
-                "buckets": m["buckets"],
-                "mor": m.get("mor", False),
-                "version": m["version"],
-                "properties": m["properties"],
+                "buckets": m_old["buckets"],
+                "mor": m_old.get("mor", False),
+                "version": m_old["version"],
+                "properties": m_old["properties"],
             }
+            # per-bucket MOR state must track the OLD file lists too —
+            # inheriting the newer manifest's mor_buckets would make
+            # is_merge_on_read/mor_buckets on the time-travel view
+            # misreport the old snapshot's resolve needs (advisor-caught).
+            # A pre-tracking manifest OMITS the key so the legacy
+            # every-nonempty-bucket fallback still applies to the view.
+            m.pop("mor_buckets", None)
+            if "mor_buckets" in m_old:
+                m["mor_buckets"] = m_old["mor_buckets"]
         snap = LakeTable(self.spark, self.path)
         snap._manifest = m
         return snap

@@ -5,9 +5,12 @@ merge-on-read batch cost must not grow with accumulated table size), final
 resolved-read and compaction walls, and the lineage/interval audit.
 
 Usage: python scripts/soak.py [n_events] [n_batches] [cores] [changelog]
-(the literal word 'changelog' anywhere in argv enables per-batch feed
-emission — the BENCH/BASELINE.md second scenario). Writes everything under
-/dev/shm and prints one JSON line.
+[changelog_per_batch]. The literal word 'changelog' enables the MOR-default
+compaction-aligned feed emission (changelog_emit='on_compact' — per-batch
+walls carry zero changelog work); 'changelog_per_batch' forces the old
+per-batch emission for contrast (the BENCH/BASELINE.md measured ~2x
+slowdown scenario). Writes everything under /dev/shm and prints one JSON
+line.
 """
 
 from __future__ import annotations
@@ -29,22 +32,23 @@ from migration_pair_spark.session import get_spark
 
 
 def main() -> None:
-    pos = [a for a in sys.argv[1:] if a != "changelog"]
+    pos = [a for a in sys.argv[1:] if a not in ("changelog", "changelog_per_batch")]
     n_events = int(pos[0]) if len(pos) > 0 else 10_000_000
     n_batches = int(pos[1]) if len(pos) > 1 else 10
     cores = int(pos[2]) if len(pos) > 2 else 8
-    with_changelog = "changelog" in sys.argv[1:]
+    with_changelog = any(a.startswith("changelog") for a in sys.argv[1:])
+    per_batch = "changelog_per_batch" in sys.argv[1:]
 
     spark = get_spark(f"soak{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     work = tempfile.mkdtemp(prefix="mps-soak-", dir="/dev/shm")
     try:
-        _run(spark, work, n_events, n_batches, with_changelog)
+        _run(spark, work, n_events, n_batches, with_changelog, per_batch)
     finally:
         # tmpfs is RAM: a crashed soak must not strand gigabytes in /dev/shm
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _run(spark, work: str, n_events: int, n_batches: int, with_changelog: bool) -> None:
+def _run(spark, work, n_events, n_batches, with_changelog, per_batch=False):
     ev_dir = os.path.join(work, "events")
     synth.write_change_stream(
         ev_dir, n_events, n_events // 5, n_files=n_batches, seed=7, words_per_doc=80
@@ -56,6 +60,7 @@ def _run(spark, work: str, n_events: int, n_batches: int, with_changelog: bool) 
         write_mode="mor",
         auto_compact_files_per_bucket=40,
         changelog_dir=os.path.join(work, "feed") if with_changelog else None,
+        changelog_emit="per_batch" if per_batch else None,
     )
     files = sorted(
         os.path.join(ev_dir, f)
@@ -100,6 +105,7 @@ def _run(spark, work: str, n_events: int, n_batches: int, with_changelog: bool) 
             1 for l in lineages if l.get("auto_compacted_buckets")
         ),
         "changelog": with_changelog,
+        "changelog_emit": pipe.changelog_policy if with_changelog else None,
         "changelog_dirs": len(feed_dirs),
     }))
 

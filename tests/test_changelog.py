@@ -169,6 +169,95 @@ def test_pipeline_emits_feed_per_batch(spark, tmp_path):
     assert sorted(os.listdir(out)) == dirs
 
 
+def test_mor_defaults_to_compaction_aligned_emission(spark, tmp_path):
+    """MOR + changelog_dir defaults to changelog_emit='on_compact': no
+    per-batch feed work at all (the round-2 measured 2x slowdown), one SPAN
+    feed at the compaction boundary, and folding that span reaches the
+    identical state as folding the per-batch diffs (span feeds collapse
+    intra-span churn but are state-equivalent by construction)."""
+    out = str(tmp_path / "feed")
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / "t"),
+        n_buckets=8,
+        salt_buckets=8,
+        write_mode="mor",
+        auto_compact_files_per_bucket=1,
+        changelog_dir=out,
+    )
+    assert pipe.changelog_policy == "on_compact"
+    l1 = pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    l2 = pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    table = LakeTable.load(spark, pipe.table_path)
+    # emission only ever happens at compaction boundaries, and exactly one
+    # span per compaction — never one per batch
+    n_compacts = sum("auto_compacted_buckets" in l for l in (l1, l2))
+    assert n_compacts >= 1
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("v"))
+    assert len(dirs) == n_compacts
+    # spans CHAIN: first starts at the subscription base (pre-batch-1
+    # version), each next starts where the previous ended
+    bounds = [
+        (int(d.split("-v")[0][1:]), int(d.split("-v")[1])) for d in dirs
+    ]
+    assert bounds[0][0] == l1["table_version_before"]
+    for (_, hi), (lo, _) in zip(bounds, bounds[1:]):
+        assert lo == hi
+    # fold all spans from the base state == fold the per-batch diffs ==
+    # the table's current visible state (span feeds collapse intra-span
+    # churn but are state-equivalent)
+    spans = spark.read.parquet(*[os.path.join(out, d) for d in dirs])
+    base = table.at_version(bounds[0][0], schema_from=table.manifest).read()
+    from_span = {tuple(r) for r in apply_changes(base, spans, key="url").collect()}
+    per_batch = snapshot_diff(
+        table, l1["table_version_before"], l1["snapshot_id"]
+    ).unionByName(snapshot_diff(table, l2["table_version_before"], l2["snapshot_id"]))
+    from_batches = {
+        tuple(r) for r in apply_changes(base, per_batch, key="url").collect()
+    }
+    want = {tuple(r) for r in table.read().collect()}
+    assert from_span == want
+    assert from_batches == want
+    # the tail since the last compaction (if any) is reachable on demand
+    tail = pipe.emit_changelog(spark)
+    if tail is not None:
+        tail_rows = spark.read.parquet(tail)
+        full = spans.unionByName(tail_rows)
+        assert {
+            tuple(r) for r in apply_changes(base, full, key="url").collect()
+        } == want
+
+
+def test_on_demand_changelog_emission(spark, tmp_path):
+    out = str(tmp_path / "feed")
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / "t"),
+        n_buckets=8,
+        salt_buckets=8,
+        changelog_dir=out,
+        changelog_emit="on_demand",
+    )
+    pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    assert not [d for d in os.listdir(out) if d.startswith("v")]
+    d = pipe.emit_changelog(spark)
+    assert d is not None
+    feed = spark.read.parquet(d)
+    assert _typed(feed.collect()) == {
+        ("insert", "u/a", "a2"),
+        ("insert", "u/c", "c1"),
+        ("insert", "u/d", "d1"),
+    }
+    # idempotent: nothing new committed since -> no-op
+    assert pipe.emit_changelog(spark) is None
+    # more changes -> the next span starts where the last one ended
+    pipe.apply_batch(
+        spark, _events(spark, [(7, "delete", "u/c", 20, None)]), batch_id=2
+    )
+    d2 = pipe.emit_changelog(spark)
+    rows = spark.read.parquet(d2).collect()
+    assert {(r.change_type, r.url) for r in rows} == {("delete", "u/c")}
+
+
 def test_diff_across_schema_evolution(spark, tmp_path):
     """A feed spanning an epoch boundary reads the old snapshot reconciled
     onto the new schema: before-images carry null for later-added columns and
