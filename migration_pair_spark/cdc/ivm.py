@@ -96,9 +96,22 @@ def apply_delta(
 
 
 def empty_state(
-    spark, dims_schema: str, measure_names: tuple[str, ...]
+    spark,
+    dims_schema: str,
+    measure_names: tuple[str, ...],
+    measure_types: "dict[str, str] | None" = None,
 ) -> DataFrame:
     """An empty aggregate state with the right columns, e.g.
-    ``empty_state(spark, 'lang string', ('n', 'chars'))``."""
-    schema = dims_schema + ", " + ", ".join(f"{m} long" for m in measure_names)
+    ``empty_state(spark, 'lang string', ('n', 'chars'))``.
+
+    Measures default to ``long``; FRACTIONAL measures (aggregate_delta
+    explicitly supports them — 'no pre-sum integer cast') must be declared
+    via ``measure_types`` (e.g. ``{"revenue": "double"}``): a long-typed
+    state column would silently coerce to double on the first
+    ``apply_delta`` fold, so batch-0 state schema would differ from every
+    later batch (advisor-caught)."""
+    types = measure_types or {}
+    schema = dims_schema + ", " + ", ".join(
+        f"{m} {types.get(m, 'long')}" for m in measure_names
+    )
     return spark.createDataFrame([], schema)

@@ -174,6 +174,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 30,
+    stats: "dict | None" = None,
 ) -> DataFrame:
     """Near-dup CLUSTER RESOLUTION — the step that lets dedup actually drop
     rows: connected components over verified duplicate pairs, each doc mapped
@@ -182,13 +183,16 @@ def dedup_clusters(
     drop set.
 
     Implementation: iterative min-label propagation with joins + aggregates
-    only (no GraphX / no RDDs). Per round every node takes the min of its own
-    label and its neighbors' labels; converges in O(component diameter)
-    rounds — near-dup clusters are shallow (dup pairs of one source doc), so
-    a handful of rounds suffices. Each round is one join + one groupBy on the
-    EDGE set only (not the corpus), so at 100 TB the loop cost scales with
-    the duplicate graph, not the table. The driver-side convergence check is
-    one count per round (bounded, like the CDC gate stats)."""
+    only (no GraphX / no RDDs). Per round every node takes the min of its
+    own label, its neighbors' labels, AND its label's label (POINTER
+    DOUBLING — the label-of-label shortcut halves the remaining distance to
+    the component minimum each round, so convergence is O(log diameter)
+    rounds instead of O(diameter): a 64-hop chain resolves in <= 7 rounds,
+    pinned in tests/test_operators.py). Each round is two joins + one
+    groupBy on the EDGE/LABEL sets only (not the corpus), so at 100 TB the
+    loop cost scales with the duplicate graph, not the table. The
+    driver-side convergence check is one count per round (bounded, like the
+    CDC gate stats). ``stats``, when given, records {"rounds": n}."""
     # localCheckpoint (eager) per round: iterative algorithms MUST truncate
     # lineage, or round k replays rounds 1..k-1 and the plan grows without
     # bound; checkpointed blocks are reclaimed by the context cleaner.
@@ -200,12 +204,36 @@ def dedup_clusters(
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         nbr = edges.join(
             labels.select(F.col("id").alias("dst"), F.col("label")), "dst"
         ).select(F.col("src").alias("id"), "label")
+        # pointer doubling: every label is itself a node id in `labels`
+        # (labels start as ids and only ever take mins of ids), so a
+        # self-join fetches label(label(id)); chaining it once more gives
+        # label^3(id). Two shortcut hops per round cut the remaining
+        # distance to the component minimum ~4x per round — O(log diameter)
+        # rounds total — at the cost of two extra label-set joins (the
+        # label set is the dup-graph node set, not the corpus).
+        lookup = labels.select(
+            F.col("id").alias("_lid"), F.col("label").alias("_l2")
+        )
+        hop = (
+            labels.alias("l1")
+            .join(lookup, F.col("l1.label") == F.col("_lid"))
+            .select(F.col("l1.id").alias("id"), F.col("_l2").alias("label"))
+        )
+        hop2 = (
+            hop.alias("h")
+            .join(lookup, F.col("h.label") == F.col("_lid"))
+            .select(F.col("h.id").alias("id"), F.col("_l2").alias("label"))
+        )
         new_labels = (
-            labels.union(nbr).groupBy("id").agg(F.min("label").alias("label"))
+            labels.union(nbr).union(hop).union(hop2)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")
@@ -218,6 +246,8 @@ def dedup_clusters(
             break
     else:  # pragma: no cover
         raise RuntimeError(f"dedup_clusters did not converge in {max_iters} rounds")
+    if stats is not None:
+        stats["rounds"] = rounds
     return docs.select(id_col).join(
         labels.select(F.col("id").alias(id_col), F.col("label")),
         id_col,

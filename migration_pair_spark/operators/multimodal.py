@@ -93,20 +93,43 @@ def binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = "paylo
     )
 
 
-def extract_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
-    """(id, binary) -> (id, byte_len, payload_md5, modality) via mapInPandas.
+def extract_binary_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    decoder=None,
+    extra_schema: str = "",
+) -> DataFrame:
+    """(id, binary) -> (id, byte_len, payload_md5, modality, *extras) via
+    mapInPandas.
 
-    This is the DECODER SEAM: the shape a real image/audio decoder plugs
-    into (Arrow-batched, pruned input, compact metadata output). The
-    byte_len/md5/modality work inside it is honest per-element Python
+    This is the DECODER SEAM: ``decoder`` is any ``bytes -> dict`` kernel
+    (it is pickled to the executors with the UDF) returning at least
+    ``{"modality": ...}`` plus whichever typed metadata fields
+    ``extra_schema`` declares (DDL string, e.g. ``"width int, height int"``;
+    missing keys land as null). :func:`decode_image` / :func:`frame_sample`
+    are the intended production kernels — stubs in this container (no
+    image/audio libraries), which is exactly why the seam takes an injected
+    kernel: the Arrow-batched plumbing (pruned input, batch iterator shape,
+    typed metadata contract) is testable end-to-end with a pure-Python fake
+    (tests/test_operators.py) and unchanged when the real decoder arrives.
+
+    The byte_len/md5/modality work inside is honest per-element Python
     (hashlib has no vectorized kernel) — which is why the hot metadata path
     is :func:`binary_metadata` (pure Catalyst built-ins) and this function
     exists only to host decode kernels that genuinely need Python."""
+    if decoder is None:
+        decoder = _decode_stub
     pruned = df.select(id_col, bin_col)
+    schema = META_SCHEMA + (f", {extra_schema}" if extra_schema else "")
+    extra_names = [
+        f.strip().split()[0] for f in extra_schema.split(",") if f.strip()
+    ]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[bin_col]
+            decoded = payloads.map(lambda b: decoder(b) if b is not None else {})
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -114,10 +137,12 @@ def extract_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str 
                     "payload_md5": payloads.map(
                         lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                     ),
-                    "modality": payloads.map(
-                        lambda b: _decode_stub(b)["modality"] if b is not None else None
-                    ),
+                    "modality": decoded.map(lambda d: d.get("modality")),
+                    **{
+                        name: decoded.map(lambda d, n=name: d.get(n))
+                        for name in extra_names
+                    },
                 }
             )
 
-    return pruned.mapInPandas(batches, schema=META_SCHEMA)
+    return pruned.mapInPandas(batches, schema=schema)

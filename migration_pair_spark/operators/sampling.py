@@ -69,12 +69,15 @@ def sample_per_stratum(
     rebalance skewed language/source mixes this way without a random seed
     to ship around).
 
-    Scale shape: one window partitioned by the stratum. WindowGroupLimit
-    pushes the rank<=k filter below the sort, so each partition materializes
-    ~k rows, not the stratum; a heavily skewed stratum still sorts within
-    one partition — for web-scale strata (billions of docs in 'en') swap in
-    a two-phase top-k (per-partition top-k, then merge), which composes from
-    the same expression."""
+    Scale shape: one window partitioned by the stratum — which Catalyst's
+    InferWindowGroupLimit compiles to a TWO-PHASE top-k: a Partial
+    WindowGroupLimit on the map side keeps <= k rows per stratum per input
+    partition BEFORE the exchange (the shuffle carries k x map-tasks rows
+    per stratum, never the stratum), and the Final limit merges them after.
+    No task ever sorts a full hot stratum ('en' at web scale), so the
+    skewed-stratum case needs no hand-written per-partition/merge pass —
+    the plan shape is pinned in tests/test_plans.py
+    (test_per_stratum_sample_is_two_phase_topk)."""
     h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
     w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
     return (

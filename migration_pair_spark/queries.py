@@ -511,7 +511,8 @@ def sessionize_events(spark, sf_dir):
     "tumbling_event_counts",
     """
     SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
-           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events GROUP BY 1, 2
     """,
     "event-time tumbling-window rollup (batch twin of the watermarked "

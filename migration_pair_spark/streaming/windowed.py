@@ -31,17 +31,24 @@ from pyspark.sql import functions as F
 
 
 def _agg(df: DataFrame, window: str, ts_col: str, key_col: str) -> DataFrame:
+    # integer-cent measure (like operators/timeseries.hierarchical_rollup,
+    # and for the same reason): rounding each value BEFORE the sum keeps the
+    # aggregate an exact BIGINT, order-independent across engines — a float
+    # sum rounded after the fact can differ in the last ulp with partition
+    # order and flip a 2-decimal rounding at a half-cent boundary
+    # (advisor-caught latent oracle flake).
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return (
         df.groupBy(F.window(F.col(ts_col), window).alias("_w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum(cents).alias("sum_cents"),
         )
         .select(
             F.col("_w.start").alias("window_start"),
             key_col,
             "n",
-            "sum_value",
+            "sum_cents",
         )
     )
 

@@ -132,3 +132,28 @@ def test_ivm_null_dimension_group_folds_correctly(spark):
         state = apply_delta(state, delta, DIMS, MEASURES).localCheckpoint()
     rows = {r.language: (r.n, r.chars) for r in state.collect()}
     assert rows == {None: (2, 6), "en": (1, 3)}
+
+
+def test_ivm_fractional_measure_schema_stable_from_batch_zero(spark):
+    """Advisor-caught: a fractional measure declared long in empty_state
+    silently coerced to double after the first fold, so batch-0 state
+    schema differed from batch-1's. measure_types pins the declared type
+    and the fold must preserve it."""
+    measures = ("n", "revenue")
+    state = empty_state(
+        spark, "language string", measures, measure_types={"revenue": "double"}
+    )
+    t0 = dict(state.dtypes)
+    assert t0["revenue"] == "double" and t0["n"] == "bigint"
+    feed = spark.createDataFrame(
+        [("insert", "en", 1.25), ("insert", "en", 2.5), ("insert", "de", 0.75)],
+        "change_type string, language string, price double",
+    )
+    for _ in range(2):
+        delta = aggregate_delta(
+            feed, DIMS, {"n": F.lit(1), "revenue": F.col("price")}
+        )
+        state = apply_delta(state, delta, DIMS, measures).localCheckpoint()
+        assert dict(state.dtypes) == t0  # schema identical every batch
+    rows = {r.language: (r.n, r.revenue) for r in state.collect()}
+    assert rows == {"en": (4, 7.5), "de": (2, 1.5)}

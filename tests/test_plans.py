@@ -157,6 +157,24 @@ def test_stratified_split_no_shuffle_before_agg(spark):
     assert plan.count("Exchange") == 1
 
 
+def test_per_stratum_sample_is_two_phase_topk(spark):
+    """sample_per_stratum must run as a TWO-PHASE top-k: a PARTIAL
+    WindowGroupLimit on the map side (each input partition keeps <= k rows
+    per stratum BEFORE the exchange, so the shuffle carries k x maps rows
+    per stratum, never the stratum) and a FINAL one after — i.e. no task
+    ever sorts a full hot stratum ('en' at web scale is billions of docs).
+    Catalyst's InferWindowGroupLimit produces exactly this shape from the
+    window expression; this pin keeps it from regressing (e.g. a rank
+    filter rewritten in a way the rule no longer matches)."""
+    plan = plan_of(REGISTRY["stratified_sample_docs"].fn(spark, SF), "simple")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+    # the partial limit sits BELOW the exchange (map side)
+    ipartial = plan.index("Partial")
+    iexchange = plan.index("Exchange")
+    assert ipartial > iexchange, "partial top-k must be below the shuffle"
+
+
 def test_tfidf_topk_window_group_limit(spark):
     """Top-k per doc prunes via WindowGroupLimit before the window sort."""
     plan = plan_of(REGISTRY["tfidf_top_terms"].fn(spark, SF), "simple")

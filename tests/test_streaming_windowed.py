@@ -102,7 +102,7 @@ def test_streaming_matches_batch_and_drops_only_too_late(spark, stream_dir, tmp_
     )
     q.awaitTermination()
     got = {
-        (r.window_start, r.event_type): (r.n, r.sum_value)
+        (r.window_start, r.event_type): (r.n, r.sum_cents)
         for r in spark.sql("SELECT * FROM winagg").collect()
         if r.event_type != "__flush__"
     }
@@ -113,14 +113,14 @@ def test_streaming_matches_batch_and_drops_only_too_late(spark, stream_dir, tmp_
         "event_id <> 6 AND event_type <> '__flush__'"
     )
     want = {
-        (r.window_start, r.event_type): (r.n, r.sum_value)
+        (r.window_start, r.event_type): (r.n, r.sum_cents)
         for r in tumbling_counts(batch_in).collect()
     }
     assert got == want
     # the late-but-within-delay event landed in its window
-    assert got[(_mins(45), "buy")] == (1, 5.0)
+    assert got[(_mins(45), "buy")] == (1, 500)
     # the too-late event's window W1 was emitted WITHOUT it
-    assert got[(_mins(15), "view")] == (1, 2.0)
+    assert got[(_mins(15), "view")] == (1, 200)
 
 
 def test_batch_twin_matches_duckdb_oracle_shape(spark):
@@ -131,5 +131,5 @@ def test_batch_twin_matches_duckdb_oracle_shape(spark):
     b = sorted(map(tuple, tumbling_counts(ev).collect()))
     assert a == b
     assert [f.name for f in tumbling_counts(ev).schema.fields] == [
-        "window_start", "event_type", "n", "sum_value",
+        "window_start", "event_type", "n", "sum_cents",
     ]
