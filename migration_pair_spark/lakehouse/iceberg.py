@@ -1,0 +1,285 @@
+"""IcebergTable: the UpsertTarget adapter for Apache Iceberg catalogs.
+
+This is the config-switch target the seam was cut for
+(lakehouse/interface.py documents the member-by-member mapping this file
+implements). It requires ``iceberg-spark-runtime`` on the session classpath
+and a configured Iceberg catalog — NOT available in this sandbox (jars are
+unfetchable, SURVEY.md §7 S0 fallback), so:
+
+- the adapter is import-safe and constructible without the jars (nothing
+  Iceberg-specific happens until a method runs a query), which lets
+  tests/test_interface.py pin PROTOCOL CONFORMANCE (the full UpsertTarget
+  surface) in this environment;
+- every method body is the real Iceberg call per the documented mapping —
+  ``availability()`` reports whether the session can actually execute them,
+  and the execution test skips without the runtime.
+
+Engine-level conventions carried in table/snapshot properties:
+
+- ``engine.key-col`` / ``engine.n-buckets`` / ``engine.lww-order``: set at
+  create time; the partition spec is ``bucket(n_buckets, key_col)`` so
+  :meth:`bucket_expr` (``system.bucket``) routes exactly like pruning.
+- The exactly-once watermark (``engine.applied_lsn_ranges`` etc.) rides
+  each write as ``snapshot-property.<k>`` options — data + watermark in ONE
+  Iceberg snapshot, the same atomicity LakeTable gets from its manifest.
+- ``engine.mor-buckets``: the engine's merge-on-read bucket set (the
+  auto-compaction policy input), maintained as a snapshot property the same
+  way LakeTable keeps it in the manifest.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SYS_COLS = ("_lsn", "_deleted")
+
+
+class IcebergTable:
+    """UpsertTarget over an Iceberg catalog table (``catalog.db.name``)."""
+
+    def __init__(self, spark: SparkSession, name: str, location: str | None = None):
+        self.spark = spark
+        self.name = name
+        self._location = location
+
+    # ---------------------------------------------------------- availability
+
+    @staticmethod
+    def available(spark: SparkSession) -> bool:
+        """True when the session can execute Iceberg DDL (runtime jars +
+        a configured catalog). The adapter constructs without this; only
+        method execution needs it."""
+        try:
+            # py4j resolves missing packages lazily (a bare attribute access
+            # returns a JavaPackage without error) — forName actually loads
+            spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
+            return True
+        except Exception:
+            return False
+
+    # -------------------------------------------------------------- metadata
+
+    @property
+    def path(self) -> str:
+        if self._location is None:
+            row = self.spark.sql(f"DESCRIBE TABLE EXTENDED {self.name}").filter(
+                F.col("col_name") == "Location"
+            ).collect()
+            self._location = row[0]["data_type"] if row else self.name
+        return self._location
+
+    def refresh(self) -> None:
+        self.spark.catalog.refreshTable(self.name)
+
+    def _latest_snapshot(self):
+        rows = (
+            self.spark.table(f"{self.name}.snapshots")
+            .orderBy(F.col("committed_at").desc())
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    @property
+    def version(self) -> int:
+        snap = self._latest_snapshot()
+        return int(snap["snapshot_id"]) if snap else 0
+
+    def _table_props(self) -> dict[str, str]:
+        return {
+            r["key"]: r["value"]
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {self.name}").collect()
+        }
+
+    @property
+    def key_col(self) -> str:
+        return self._table_props()["engine.key-col"]
+
+    @property
+    def n_buckets(self) -> int:
+        return int(self._table_props()["engine.n-buckets"])
+
+    @property
+    def schema(self) -> T.StructType:
+        full = self.spark.table(self.name).schema
+        return T.StructType([f for f in full.fields if f.name not in _SYS_COLS])
+
+    @property
+    def properties(self) -> dict[str, str]:
+        """Engine properties from the CURRENT snapshot's summary (the
+        watermark's atomicity home), falling back to table properties."""
+        snap = self._latest_snapshot()
+        out = {
+            k: v for k, v in self._table_props().items() if k.startswith("engine.")
+        }
+        if snap is not None:
+            out.update(dict(snap["summary"]))
+        return out
+
+    @property
+    def lww_order(self) -> tuple[str, ...]:
+        raw = self._table_props().get("engine.lww-order", "warc_ts,_lsn")
+        return tuple(c.strip() for c in raw.split(","))
+
+    # ------------------------------------------------------- routing / reads
+
+    def bucket_expr(self, col: str | None = None) -> Column:
+        # the SAME hash family the partition spec uses, so routing == pruning
+        return F.expr(f"system.bucket({self.n_buckets}, {col or self.key_col})")
+
+    def read_buckets(self, bucket_ids: list[int], resolve: bool = False) -> DataFrame:
+        df = self.spark.table(self.name).where(
+            self.bucket_expr().isin([int(b) for b in bucket_ids])
+        )
+        if resolve and self.is_merge_on_read:
+            df = self._lww_resolve(df)
+        return df
+
+    def read(self, include_tombstones: bool = False) -> DataFrame:
+        df = self.spark.table(self.name)
+        if self.is_merge_on_read:
+            df = self._lww_resolve(df)
+        if not include_tombstones:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
+                *_SYS_COLS
+            )
+        return df
+
+    def _lww_resolve(self, df: DataFrame) -> DataFrame:
+        key, order = self.key_col, self.lww_order
+        payload = [c for c in df.columns if c != key]
+        out = df.groupBy(key).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(*[F.col(c) for c in order]),
+            ).alias("_w")
+        )
+        return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
+    # --------------------------------------------------------------- writes
+
+    def _writer(self, df: DataFrame, properties: dict | None, lineage: dict | None):
+        w = df.drop("_bucket").writeTo(self.name)
+        for k, v in (properties or {}).items():
+            w = w.option(f"snapshot-property.{k}", str(v))
+        if lineage is not None:
+            w = w.option("snapshot-property.engine.lineage", json.dumps(lineage))
+        return w
+
+    def replace_buckets(
+        self,
+        df_with_bucket: DataFrame,
+        touched_buckets: list[int],
+        properties: dict[str, str] | None = None,
+        lineage: dict | None = None,
+    ) -> int:
+        """Copy-on-write: dynamic overwrite of exactly the touched bucket
+        partitions (rows route by the spec's own bucket transform, matching
+        ``_bucket``). Iceberg's CommitFailedException is the optimistic-
+        concurrency conflict — same contract as LakeTable's EEXIST."""
+        self._writer(df_with_bucket, properties, lineage).overwritePartitions()
+        self.refresh()
+        return self.version
+
+    def append_delta_buckets(
+        self,
+        df_with_bucket: DataFrame,
+        touched_buckets: list[int],
+        properties: dict[str, str] | None = None,
+        lineage: dict | None = None,
+    ) -> tuple[int, list[str]]:
+        """Merge-on-read: plain append of delta rows; reads LWW-resolve until
+        compaction. The engine-level MOR bucket set rides the snapshot."""
+        props = dict(properties or {})
+        prior = self.mor_buckets
+        props["engine.mor-buckets"] = json.dumps(
+            sorted(prior | {int(b) for b in touched_buckets})
+        )
+        self._writer(df_with_bucket, props, lineage).append()
+        self.refresh()
+        return self.version, []
+
+    # ------------------------------------------------------------- evolution
+
+    _WIDEN_SQL = {"bigint": "bigint", "int": "int", "double": "double"}
+
+    def evolve_schema(self, ops: list) -> int:
+        """ALTER TABLE schema-update commits; idempotent per op (skip when
+        the effect is already present — the crash-replay contract)."""
+        from migration_pair_spark.lakehouse.table import (
+            AddColumn,
+            RenameColumn,
+            WidenColumn,
+        )
+
+        names = {f.name: f.dataType.simpleString() for f in self.schema.fields}
+        for op in ops:
+            if isinstance(op, AddColumn):
+                if op.name in names:
+                    continue
+                self.spark.sql(
+                    f"ALTER TABLE {self.name} ADD COLUMN {op.name} {op.type}"
+                )
+            elif isinstance(op, RenameColumn):
+                if op.new in names and op.old not in names:
+                    continue
+                self.spark.sql(
+                    f"ALTER TABLE {self.name} RENAME COLUMN {op.old} TO {op.new}"
+                )
+            elif isinstance(op, WidenColumn):
+                if names.get(op.name) == op.new_type:
+                    continue
+                self.spark.sql(
+                    f"ALTER TABLE {self.name} ALTER COLUMN {op.name} TYPE {op.new_type}"
+                )
+            else:  # pragma: no cover
+                raise TypeError(f"unknown evolution op {op!r}")
+            names = {f.name: f.dataType.simpleString() for f in self.schema.fields}
+        self.refresh()
+        return self.version
+
+    # ----------------------------------------------------------- maintenance
+
+    @property
+    def is_merge_on_read(self) -> bool:
+        return bool(self.mor_buckets)
+
+    @property
+    def mor_buckets(self) -> set[int]:
+        raw = self.properties.get("engine.mor-buckets")
+        return {int(b) for b in json.loads(raw)} if raw else set()
+
+    def files_per_bucket(self) -> dict[int, int]:
+        """Manifest entry counts per bucket partition from the ``.files``
+        metadata table — no data IO."""
+        rows = (
+            self.spark.table(f"{self.name}.files")
+            .groupBy(F.col("partition").getField(f"{self.key_col}_bucket").alias("b"))
+            .count()
+            .collect()
+        )
+        return {int(r["b"]): int(r["count"]) for r in rows}
+
+    def compact(self, bucket_ids: "list[int] | None" = None) -> int:
+        """Engine-level compaction: LWW-resolve the chosen buckets and
+        overwrite their partitions (clears their MOR state). A pure layout
+        rewrite without resolution would instead be the
+        ``rewrite_data_files`` procedure."""
+        buckets = (
+            bucket_ids if bucket_ids is not None else sorted(self.files_per_bucket())
+        )
+        if not buckets:
+            return self.version
+        resolved = self.read_buckets(buckets, resolve=True)
+        remaining = sorted(self.mor_buckets - {int(b) for b in buckets})
+        self._writer(
+            resolved.withColumn("_bucket", self.bucket_expr()),
+            {"engine.mor-buckets": json.dumps(remaining)},
+            {"compaction": True, "buckets": list(map(int, buckets))},
+        ).overwritePartitions()
+        self.refresh()
+        return self.version

@@ -105,3 +105,42 @@ def test_maintenance_loop_runs_through_the_seam_only(spark, tmp_path):
     assert lineage.get("auto_compacted_buckets"), lineage
     table.refresh()
     assert max(table.files_per_bucket().values()) <= 1
+
+
+def test_iceberg_adapter_conforms_to_protocol(spark):
+    """The IcebergTable adapter (lakehouse/iceberg.py) presents the FULL
+    UpsertTarget surface — the config switch is code, not a documented
+    mapping. Construction needs no Iceberg jars (only method execution
+    does), so conformance is pinned in this sandbox; execution is gated on
+    IcebergTable.available()."""
+    import inspect
+
+    from migration_pair_spark.lakehouse.iceberg import IcebergTable
+    from migration_pair_spark.lakehouse.table import LakeTable as _LT
+
+    t = IcebergTable(spark, "catalog.db.pages")
+    # surface check at the CLASS level: isinstance() on a runtime_checkable
+    # protocol hasattr-probes the INSTANCE, which would execute the lazy
+    # property getters (they query the absent catalog); the class carries
+    # the same attributes without evaluation
+    proto_attrs = [
+        a
+        for a in dir(_Proto)
+        if not a.startswith("_")
+        and (callable(getattr(_Proto, a, None)) or isinstance(
+            getattr(_Proto, a, None), property
+        ))
+    ]
+    assert len(proto_attrs) >= 15  # the protocol surface, not a stub list
+    missing = [a for a in proto_attrs if not hasattr(type(t), a)]
+    assert not missing, f"adapter lacks protocol members: {missing}"
+    assert not IcebergTable.available(spark)  # sandbox truth: no jars
+    # method signatures match the protocol's (arity drift would break the
+    # CDC loop at call time even though the runtime_checkable passes)
+    for name in (
+        "read_buckets", "replace_buckets", "append_delta_buckets",
+        "evolve_schema", "compact", "bucket_expr", "files_per_bucket",
+    ):
+        got = inspect.signature(getattr(IcebergTable, name))
+        want = inspect.signature(getattr(_LT, name))
+        assert list(got.parameters) == list(want.parameters), name
