@@ -78,6 +78,7 @@ events = spark.read.parquet(ev)
 # 0.51-0.79 across driver runs at the looser 20 percent bar).
 # rep 0 warms codegen/JIT/py workers.
 walls = []
+phases = {}
 rep = 0
 while rep <= reps or (
     rep <= reps + 5
@@ -92,8 +93,11 @@ while rep <= reps or (
     shutil.rmtree(tdir, ignore_errors=True)
     if rep:
         walls.append(w)
+        if w == min(walls):
+            phases = lineage.get("phase_ms") or {}
     rep += 1
-print(min(walls))
+import json
+print(json.dumps({"min": min(walls), "phase_ms": phases}))
 spark.stop()
 """
 
@@ -127,7 +131,9 @@ def run_queries(sf_dir: str, cpus: int) -> dict[str, float]:
     return out
 
 
-def cdc_min_wall(cores: int, events_dir: str, work: str, reps: int, n_buckets: int = 32) -> float:
+def cdc_min_wall(
+    cores: int, events_dir: str, work: str, reps: int, n_buckets: int = 32
+) -> tuple[float, dict]:
     worker = os.path.join(work, "worker.py")
     with open(worker, "w") as f:
         f.write(_WORKER % {"repo": REPO})
@@ -137,7 +143,8 @@ def cdc_min_wall(cores: int, events_dir: str, work: str, reps: int, n_buckets: i
         text=True,
         check=True,
     )
-    return float(out.stdout.strip().splitlines()[-1])
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    return float(rec["min"]), rec.get("phase_ms", {})
 
 
 def main() -> None:
@@ -172,11 +179,14 @@ def main() -> None:
 
     try:
         queries = run_queries(sf_dir, cpus)
-        wall_high = cdc_min_wall(high, events_dir, work, reps)
-        wall_low = cdc_min_wall(low, events_dir, work, reps)
+        wall_high, phases_high = cdc_min_wall(high, events_dir, work, reps)
+        wall_low, _ = cdc_min_wall(low, events_dir, work, reps)
         tput_high = n_events / wall_high
         tput_low = n_events / wall_low
         efficiency = (tput_high / tput_low) / (high / low)
+        # Amdahl split from the two measured points: wall(c) = S + W/c
+        # -> S = (4*wall_high - wall_low) / 3 for (low, high) = (N, 4N).
+        serial_est = max((4 * wall_high - wall_low) / 3, 0.0)
         result = {
             "metric": "headline operator wall + CDC apply throughput with N->4N scaling",
             "value": round(sum(queries.values()), 3),
@@ -193,6 +203,10 @@ def main() -> None:
                     "events_per_sec_low": round(tput_low, 1),
                     "events_per_sec_high": round(tput_high, 1),
                     "efficiency": round(efficiency, 3),
+                    # core-count-independent per-apply residue (Amdahl fit
+                    # of the two points) + its phase decomposition at 4N
+                    "serial_sec_est": round(serial_est, 3),
+                    "phase_ms_high": phases_high,
                 },
             },
         }

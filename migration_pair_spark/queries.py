@@ -29,6 +29,7 @@ from migration_pair_spark.cdc.lww import lww_dedup
 from migration_pair_spark.functions import textstats
 from migration_pair_spark.operators import dedup as dd
 from migration_pair_spark.operators import (
+    decontaminate,
     multimodal,
     sampling,
     similarity,
@@ -998,6 +999,22 @@ def embedding_neardup_clusters(spark, sf_dir):
     return out.select(
         F.col("doc_id").alias("vec_id"),
         F.col("keeper_doc_id").alias("keeper_vec_id"),
+    )
+
+
+@q(
+    "decontaminate_docs",
+    decontaminate.oracle_contaminated_sql(bench_mod=41),
+    "benchmark decontamination: (train doc, benchmark doc, shared word-"
+    "3-grams) pairs at >= 2 shared shingles — benchmark stand-in is every "
+    "41st doc; broadcast benchmark shingle-hash join, corpus side never "
+    "shuffles before the pair count (plan-pinned)",
+)
+def decontaminate_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 41 == 0)
+    return decontaminate.contaminated_pairs(d, bench).filter(
+        F.col("doc_id") != F.col("bench_id")
     )
 
 

@@ -382,3 +382,42 @@ def test_multimodal_modality_sniffs_id3_text(spark):
         ).fetchall()
     )
     assert oracle == got
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc quoting a benchmark passage (>= min_shared word
+    3-grams) is flagged with the exact shared count; unrelated docs are
+    not; clean_corpus drops flagged docs AND corpus-resident benchmark
+    members, keeps the rest."""
+    from migration_pair_spark.operators import decontaminate as dc
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # quotes 'quick brown fox jumps over' -> 3 shared 3-grams
+            (1, "he said the quick brown fox jumps over everything"),
+            # one shared 3-gram only ('the lazy dog') -> below min_shared=2
+            (2, "walking the lazy dog at noon"),
+            (3, "completely unrelated text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_id, r.bench_id): r.shared_shingles
+        for r in dc.contaminated_pairs(corpus, bench, n=3, min_shared=2).collect()
+    }
+    assert set(pairs) == {(1, 100)}
+    # doc 1 shares: 'the quick brown','quick brown fox','brown fox jumps',
+    # 'fox jumps over'
+    assert pairs[(1, 100)] == 4
+    kept = {r.doc_id for r in dc.clean_corpus(corpus, bench).collect()}
+    assert kept == {2, 3}
+    # short/empty docs neither crash nor match
+    weird = spark.createDataFrame(
+        [(4, "one two"), (5, ""), (6, None), (7, "   ")],
+        "doc_id long, text string",
+    )
+    assert dc.contaminated_pairs(weird, bench).count() == 0

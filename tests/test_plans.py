@@ -191,3 +191,13 @@ def test_ivf_probe_is_equi_join_on_cell(spark):
     assert "BroadcastHashJoin" in plan
     # centroid scoring: BNLJ appears, but only against the n_cells side
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast (eval sets are tiny; the
+    corpus is the big side and must not shuffle for the match): one
+    BroadcastHashJoin on the shingle hash, no SortMergeJoin, no cartesian."""
+    plan = plan_of(REGISTRY["decontaminate_docs"].fn(spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
