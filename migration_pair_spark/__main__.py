@@ -7,6 +7,7 @@ to Spark-first subcommands:
     backfill          events dir -> table, one batch (reference EndToEnd)
     cdc-run           events dir -> table, streaming tail (north rule)
     compact           rewrite bucket files (maintenance)
+    retention         expire old snapshots + vacuum orphan data files
     changelog         snapshot-diff change feed between two table versions
     curate            documents parquet -> deduped/filtered/split corpus
     package           build the --py-files zip for spark-submit
@@ -54,6 +55,15 @@ def main(argv: list[str] | None = None) -> int:
 
     de = sub.add_parser("describe")
     de.add_argument("--table-path", required=True)
+
+    rt = sub.add_parser("retention")
+    rt.add_argument("--table-path", required=True)
+    rt.add_argument("--keep-last", type=int, default=10,
+                    help="snapshots to retain (time travel horizon)")
+    rt.add_argument("--older-than-s", type=float, default=3600.0,
+                    help="vacuum safety horizon: unreferenced files younger "
+                         "than this are kept (concurrent uncommitted writes "
+                         "look like orphans)")
 
     cl = sub.add_parser("changelog")
     cl.add_argument("--table-path", required=True)
@@ -133,6 +143,17 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable.load(spark, args.table_path)
         version = table.compact()
         print(json.dumps({"snapshot": version}))
+    elif args.cmd == "retention":
+        from migration_pair_spark.lakehouse.table import LakeTable
+
+        table = LakeTable.load(spark, args.table_path)
+        expired = table.expire_snapshots(keep_last=args.keep_last)
+        deleted = table.vacuum(older_than_s=args.older_than_s)
+        print(json.dumps({
+            "expired_snapshots": expired,
+            "deleted_files": len(deleted),
+            "retained_snapshots": table.snapshot_versions(),
+        }))
     elif args.cmd == "changelog":
         from migration_pair_spark.cdc.changelog import materialize_changelog
         from migration_pair_spark.lakehouse.table import LakeTable

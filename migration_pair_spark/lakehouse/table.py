@@ -554,6 +554,74 @@ class LakeTable:
             version = m["version"]
         return version
 
+    # ----------------------------------------------------------- retention
+
+    def expire_snapshots(self, keep_last: int = 10) -> list[int]:
+        """Delete manifests older than the newest ``keep_last`` snapshots
+        (Iceberg ``expire_snapshots`` analog). Time travel, changelog spans
+        and IVM feeds reaching past the horizon fail loudly afterwards —
+        run retention BEHIND the changelog's emission point (the feed
+        directory's markers name it). The current snapshot is never
+        expired. Returns the expired version numbers.
+
+        Crash-safe: manifests are self-contained immutable files, so
+        deletion order doesn't matter and a re-run just deletes less."""
+        versions = self.snapshot_versions()
+        expired = versions[:-keep_last] if keep_last > 0 else versions[:-1]
+        for v in expired:
+            try:
+                os.unlink(os.path.join(self.path, "manifests", f"v{v:08d}.json"))
+            except FileNotFoundError:  # pragma: no cover - concurrent expire
+                pass
+        return expired
+
+    def vacuum(self, older_than_s: float = 3600.0) -> list[str]:
+        """Delete data files no RETAINED manifest references (Iceberg
+        ``remove_orphan_files`` analog). Orphans come from two places, both
+        invisible by construction: crashes between data write and manifest
+        publish (incl. committer-v2 partial task output), and
+        :meth:`expire_snapshots` dropping the last manifest that referenced
+        a file. ``older_than_s`` is the safety horizon: files younger than
+        it are kept even when unreferenced, because a CONCURRENT writer's
+        uncommitted transaction looks exactly like an orphan until its
+        manifest publishes (Iceberg's remove_orphan_files has the same
+        guard for the same reason). Returns deleted relpaths."""
+        import time as _time
+
+        referenced: set[str] = set()
+        for v in self.snapshot_versions():
+            m = self.manifest_at(v)
+            for files in m["buckets"].values():
+                for e in files:
+                    referenced.add(e["path"])
+                    # Hadoop LocalFS writes a `.{name}.crc` checksum twin
+                    # next to each data file; it lives and dies with it
+                    d, base = os.path.split(e["path"])
+                    referenced.add(os.path.join(d, f".{base}.crc"))
+        deleted: list[str] = []
+        cutoff = _time.time() - older_than_s
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+            for fn in files:
+                fp = os.path.join(dirpath, fn)
+                rel = os.path.relpath(fp, self.path)
+                if rel in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(fp) > cutoff:
+                        continue
+                    os.unlink(fp)
+                    deleted.append(rel)
+                except FileNotFoundError:  # pragma: no cover - racer
+                    continue
+            # prune now-empty transaction directories
+            if dirpath != data_root:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return deleted
+
     def lookup(self, key_value) -> DataFrame:
         """Point read: the current row(s) for one key, touching ONLY the
         bucket the key hashes into — at 100 TB this reads a few files, not

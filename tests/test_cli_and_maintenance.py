@@ -104,3 +104,31 @@ def test_cli_describe(spark, tmp_path, capsys):
     assert out["key_col"] == "url" and out["n_buckets"] == 4
     assert out["version"] >= 2 and out["files"] > 0
     assert "engine.max_lsn" in out["properties"]
+
+
+def test_cli_retention_expires_and_vacuums(spark, tmp_path, capsys):
+    from migration_pair_spark.__main__ import main
+
+    t, _ = _loaded_table(spark, tmp_path)
+    for n in (5, 6):  # extra COW snapshots so there is history to expire
+        t.append_bucketed(
+            spark.range(n).select(
+                F.concat(F.lit("u/"), F.col("id")).alias("url"),
+                F.current_timestamp().alias("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                F.lit("t").alias("text"),
+                F.lit("en").alias("lang"),
+            )
+        )
+    rows_before = t.read().count()
+    versions = t.snapshot_versions()
+    assert main([
+        "retention", "--table-path", t.path,
+        "--keep-last", "2", "--older-than-s", "0",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["expired_snapshots"] == versions[:-2]
+    assert out["retained_snapshots"] == versions[-2:]
+    assert out["deleted_files"] > 0
+    t.refresh()
+    assert t.read().count() == rows_before  # current state untouched

@@ -286,3 +286,58 @@ def test_replace_buckets_refuses_stray_rows(spark, tmp_path):
     buckets = sorted({r._bucket for r in df.select("_bucket").collect()})
     with pytest.raises(ValueError, match="outside touched_buckets"):
         t.replace_buckets(df, touched_buckets=buckets[:1])
+
+
+def test_vacuum_removes_orphans_keeps_referenced(spark, tmp_path):
+    """Orphan data files (crash between data write and manifest publish —
+    the committer-v2 partial-output shape) are invisible; vacuum deletes
+    them without touching any retained snapshot's files. The safety horizon
+    protects a concurrent writer's not-yet-committed output."""
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append_bucketed(_rows(spark))
+    # simulate a crashed transaction: files on disk, no manifest reference
+    orphan_dir = os.path.join(t.path, "data", "tx-99999999-dead")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    with open(orphan, "w") as f:
+        f.write("junk")
+    before = t.read().count()
+    # young orphan survives the horizon (a concurrent uncommitted write
+    # would look identical)
+    assert t.vacuum(older_than_s=3600) == []
+    assert os.path.exists(orphan)
+    deleted = t.vacuum(older_than_s=0)
+    assert deleted == [os.path.relpath(orphan, t.path)]
+    assert not os.path.exists(orphan_dir)  # empty tx dir pruned too
+    assert t.read().count() == before  # referenced files untouched
+
+
+def test_expire_snapshots_then_vacuum_reclaims_history(spark, tmp_path):
+    """expire_snapshots drops old manifests (time travel past the horizon
+    fails loudly); vacuum then reclaims data files only expired snapshots
+    referenced. Retained snapshots stay fully readable."""
+    t = _mk(spark, str(tmp_path / "t"))
+    for i in range(4):  # versions 2..5, each REPLACES every bucket (COW)
+        t.append_bucketed(_rows(spark, n=10 + i))
+    all_versions = t.snapshot_versions()
+    assert all_versions == [1, 2, 3, 4, 5]
+    n_files_before = sum(
+        len(fs) for fs in (os.listdir(os.path.join(t.path, "data", d))
+                           for d in os.listdir(os.path.join(t.path, "data")))
+    )
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [1, 2, 3]
+    assert t.snapshot_versions() == [4, 5]
+    with pytest.raises(FileNotFoundError):
+        t.at_version(2)
+    deleted = t.vacuum(older_than_s=0)
+    assert deleted  # versions 2 and 3's bucket files were only theirs
+    # both retained snapshots read fine afterwards
+    assert t.read().count() == 13
+    assert t.at_version(4).read().count() == 12
+    # idempotent: nothing further to reclaim
+    assert t.vacuum(older_than_s=0) == []
+    assert n_files_before > sum(
+        len(fs) for fs in (os.listdir(os.path.join(t.path, "data", d))
+                           for d in os.listdir(os.path.join(t.path, "data")))
+    )
