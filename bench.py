@@ -76,13 +76,25 @@ events = spark.read.parquet(ev)
 # REPRODUCES within 12 percent — the scaling efficiency is a ratio of two
 # mins, so unreproduced minima on either side swing it by 0.1+ (observed
 # 0.51-0.79 across driver runs at the looser 20 percent bar).
-# rep 0 warms codegen/JIT/py workers.
+# Reps 0-1 warm codegen/JIT/py workers — tiered JIT keeps improving for
+# several runs, so ALSO keep sampling while the min is still falling
+# (>5 percent improvement within the last two samples): a reproduced-but-
+# unconverged plateau (e.g. 6.2, 6.1 while the true floor is 5.0) is the
+# round-3-observed failure mode of the reproducibility bar alone.
 walls = []
 phases = {}
 rep = 0
-while rep <= reps or (
-    rep <= reps + 5
-    and (len(walls) < 2 or sorted(walls)[1] > sorted(walls)[0] * 1.12)
+def _still_falling():
+    if len(walls) < 3:
+        return True
+    return min(walls) < min(walls[:-2]) * 0.95
+while rep <= reps + 1 or (
+    rep <= reps + 9
+    and (
+        len(walls) < 2
+        or sorted(walls)[1] > sorted(walls)[0] * 1.12
+        or _still_falling()
+    )
 ):
     tdir = os.path.join(work, f"t{cores}_{rep}")
     pipe = CdcPipeline(table_path=tdir, n_buckets=n_buckets, salt_buckets=16)
@@ -91,7 +103,7 @@ while rep <= reps or (
     w = time.monotonic() - t0
     assert not lineage["skipped"]
     shutil.rmtree(tdir, ignore_errors=True)
-    if rep:
+    if rep >= 2:
         walls.append(w)
         if w == min(walls):
             phases = lineage.get("phase_ms") or {}
@@ -179,8 +191,15 @@ def main() -> None:
 
     try:
         queries = run_queries(sf_dir, cpus)
-        wall_high, phases_high = cdc_min_wall(high, events_dir, work, reps)
+        # Low side FIRST, high side last with a settle pause: the 32-core
+        # queries phase leaves the VM in a steal-prone state for a while,
+        # and an inflated HIGH measurement biases the ratio downward twice
+        # (numerator and the recorded throughput). Measurement ordering,
+        # not a protocol change — both sides keep warm-up + adaptive min.
+        time.sleep(10)
         wall_low, _ = cdc_min_wall(low, events_dir, work, reps)
+        time.sleep(10)
+        wall_high, phases_high = cdc_min_wall(high, events_dir, work, reps)
         tput_high = n_events / wall_high
         tput_low = n_events / wall_low
         efficiency = (tput_high / tput_low) / (high / low)

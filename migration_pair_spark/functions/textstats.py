@@ -110,3 +110,64 @@ def oracle_lang_id_sql(text_expr: str) -> str:
         best = f"CASE WHEN {s} > {best_score} THEN '{lang}' ELSE {best} END"
         best_score = f"CASE WHEN {s} > {best_score} THEN {s} ELSE {best_score} END"
     return best
+
+
+def repetition_stats(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Gopher-style repetition quality signals per document:
+    (id, n_tokens, n_distinct_tokens, max_token_count, dup_token_frac).
+
+    High duplicate-token fraction / a single token dominating the document
+    are the classic low-quality markers (boilerplate, keyword stuffing,
+    scraped nav bars) that corpus filters threshold on.
+
+    Scale shape: one narrow explode (id, token) and two hash aggregations
+    with map-side combine — shuffle volume is O(distinct (doc, token)), the
+    text itself never shuffles. Exact integer counts; the fraction is one
+    IEEE double division both engines round identically.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = (
+        docs.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(F.col(id_col), F.explode(toks).alias("_tok"))
+    )
+    counts = exploded.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("_c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            F.max("_c").cast("long").alias("max_token_count"),
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                4,
+            ),
+        )
+    )
+
+
+def oracle_repetition_sql() -> str:
+    """DuckDB twin of :func:`repetition_stats` over the ``documents`` view
+    (same \\s+ split, same exact counts, same double division)."""
+    return """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    counts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(max(c) AS BIGINT) AS max_token_count,
+           round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4)
+               AS dup_token_frac
+    FROM counts GROUP BY doc_id
+    """

@@ -1003,6 +1003,17 @@ def embedding_neardup_clusters(spark, sf_dir):
 
 
 @q(
+    "repetition_stats_docs",
+    textstats.oracle_repetition_sql(),
+    "gopher-style repetition quality signals: duplicate-token fraction and "
+    "dominant-token count per doc (exact integer counts, one narrow "
+    "explode + two map-side-combined aggregations)",
+)
+def repetition_stats_docs(spark, sf_dir):
+    return textstats.repetition_stats(t(spark, sf_dir, "documents"))
+
+
+@q(
     "decontaminate_docs",
     decontaminate.oracle_contaminated_sql(bench_mod=41),
     "benchmark decontamination: (train doc, benchmark doc, shared word-"

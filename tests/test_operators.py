@@ -421,3 +421,25 @@ def test_decontaminate_flags_planted_overlap(spark):
         "doc_id long, text string",
     )
     assert dc.contaminated_pairs(weird, bench).count() == 0
+
+
+def test_repetition_stats_signals(spark):
+    """Exact duplicate-token fraction and dominant-token count; stuffing
+    doc scores high, diverse doc low; empty/null docs excluded."""
+    from migration_pair_spark.functions import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy buy buy now buy"),          # 5 tokens, 2 distinct
+            (2, "all words here are different"),  # 5 tokens, 5 distinct
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textstats.repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert (rows[1].n_tokens, rows[1].n_distinct_tokens) == (5, 2)
+    assert rows[1].max_token_count == 4
+    assert rows[1].dup_token_frac == 0.6
+    assert rows[2].dup_token_frac == 0.0 and rows[2].max_token_count == 1
