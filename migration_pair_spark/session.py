@@ -78,6 +78,14 @@ def get_spark(
         # are likewise meaningless under manifest-gated visibility.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        # Dynamic-partition writes (the bucketed table commit) keep up to 64
+        # open writers per task instead of SORTING the batch by partition
+        # first: the sort is a memory-bandwidth-bound pass over the full
+        # micro-batch that contends exactly when all cores are busy
+        # (measured: -12% on the 8-core apply, neutral at 2 cores). Tables
+        # with > 64 buckets landing in one task fall back to sorting the
+        # remainder — graceful at any n_buckets.
+        .config("spark.sql.maxConcurrentOutputFileWriters", "64")
         # Shuffle spill dir: the sandbox's single virtio disk tops out at
         # ~475 MB/s and serializes all cores (measured: local[4] beat
         # local[16] on a shuffle-heavy job). tmpfs restores the per-node
