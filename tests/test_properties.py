@@ -189,3 +189,47 @@ def test_interval_algebra_against_set_model(a, b):
     assert points(diff) == points(a) - points(b)
     for lo, hi in diff:
         assert lo <= hi
+
+
+# ----- applied-LSN interval algebra (the exactly-once gate's core math) ----
+
+_iv = st.tuples(st.integers(0, 60), st.integers(0, 60)).map(
+    lambda t: (min(t), max(t))
+)
+_ivs = st.lists(_iv, max_size=8)
+
+
+def _expand(ranges):
+    out = set()
+    for lo, hi in ranges:
+        out.update(range(lo, hi + 1))
+    return out
+
+
+@given(ranges=_ivs)
+def test_merge_ranges_is_canonical_and_lossless(ranges):
+    from migration_pair_spark.cdc.apply import merge_ranges
+
+    merged = merge_ranges(ranges)
+    # lossless: covers exactly the same LSN set
+    assert _expand(merged) == _expand(ranges)
+    # canonical: sorted, disjoint, non-adjacent (steady state stays O(1))
+    for (lo1, hi1), (lo2, hi2) in zip(merged, merged[1:]):
+        assert lo1 <= hi1 and lo2 <= hi2
+        assert lo2 > hi1 + 1
+    # idempotent
+    assert merge_ranges(merged) == merged
+
+
+@given(intervals=_ivs, applied=_ivs)
+def test_subtract_ranges_is_exact_set_difference(intervals, applied):
+    from migration_pair_spark.cdc.apply import merge_ranges, subtract_ranges
+
+    intervals_m, applied_m = merge_ranges(intervals), merge_ranges(applied)
+    diff = subtract_ranges(intervals_m, applied_m)
+    assert _expand(diff) == _expand(intervals_m) - _expand(applied_m)
+    # the fresh set re-merged with applied covers exactly applied + batch —
+    # the commit invariant (what the published ranges claim is applied)
+    assert _expand(merge_ranges(applied_m + diff)) == (
+        _expand(applied_m) | (_expand(intervals_m) - _expand(applied_m))
+    )
