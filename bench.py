@@ -71,31 +71,63 @@ from migration_pair_spark.session import get_spark
 from migration_pair_spark.cdc.runner import CdcPipeline
 spark = get_spark(f"bench{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
 events = spark.read.parquet(ev)
-# Adaptive min: the sandbox VM has hypervisor-steal spikes that inflate
-# single samples up to 10x, so keep sampling (bounded) until the best time
-# REPRODUCES within 12 percent — the scaling efficiency is a ratio of two
-# mins, so unreproduced minima on either side swing it by 0.1+ (observed
-# 0.51-0.79 across driver runs at the looser 20 percent bar).
-# Reps 0-1 warm codegen/JIT/py workers — tiered JIT keeps improving for
-# several runs, so ALSO keep sampling while the min is still falling
-# (>5 percent improvement within the last two samples): a reproduced-but-
-# unconverged plateau (e.g. 6.2, 6.1 while the true floor is 5.0) is the
-# round-3-observed failure mode of the reproducibility bar alone.
+# Adaptive min with STEAL DETECTION. The sandbox VM has hypervisor-steal
+# PHASES lasting minutes that inflate every sample 2-8x; min-of-N alone
+# records garbage when a whole side's window lands inside one (round-3
+# observed: low side at its 16 s floor, high side stuck at 13 s vs its
+# true 4.9 s floor -> efficiency 0.30). A CPU-bound calibration probe
+# (fixed Python arithmetic, same CPU pool the executors use) measures the
+# box independently of the workload before each rep: samples taken while
+# the probe runs >35 percent over its observed-best are NOT counted, and
+# the worker sleeps instead of burning a 6-17 s apply it would discard.
+# On top of clean samples, the round-2 rules still apply: best must
+# reproduce within 12 percent, and sampling continues while the min is
+# still falling >5 percent (tiered JIT keeps improving for several runs).
 walls = []
 phases = {}
-rep = 0
+cal_best = None
+def _burn(_):
+    s = 0
+    for i in range(1_000_000):
+        s += i * i
+    return s
+def calibrate():
+    # ALL-CORE probe: single-thread timing misses all-core frequency
+    # throttle (observed: the 8-core side plateaus 15-25 percent high
+    # right after a 32-core phase while a 1-thread probe reads clean)
+    from concurrent.futures import ProcessPoolExecutor
+    t0 = time.monotonic()
+    with ProcessPoolExecutor(cores) as ex:
+        list(ex.map(_burn, range(cores)))
+    return time.monotonic() - t0
+def box_clean():
+    global cal_best
+    c = calibrate()
+    cal_best = c if cal_best is None else min(cal_best, c)
+    return c <= cal_best * 1.35
 def _still_falling():
     if len(walls) < 3:
         return True
     return min(walls) < min(walls[:-2]) * 0.95
-while rep <= reps + 1 or (
-    rep <= reps + 9
-    and (
-        len(walls) < 2
-        or sorted(walls)[1] > sorted(walls)[0] * 1.12
-        or _still_falling()
+rep = 0
+attempts = 0
+deadline = time.monotonic() + 420  # hard bound on the worker's runtime
+while time.monotonic() < deadline and (
+    rep <= reps + 1
+    or (
+        rep <= reps + 9
+        and (
+            len(walls) < 2
+            or sorted(walls)[1] > sorted(walls)[0] * 1.12
+            or _still_falling()
+        )
     )
 ):
+    if rep >= 2 and not box_clean():
+        # steal phase: wait it out instead of recording an inflated sample
+        attempts += 1
+        time.sleep(3)
+        continue
     tdir = os.path.join(work, f"t{cores}_{rep}")
     pipe = CdcPipeline(table_path=tdir, n_buckets=n_buckets, salt_buckets=16)
     t0 = time.monotonic()
@@ -104,12 +136,29 @@ while rep <= reps + 1 or (
     assert not lineage["skipped"]
     shutil.rmtree(tdir, ignore_errors=True)
     if rep >= 2:
+        # CLOSING probe: a steal phase that starts mid-apply passes the
+        # opening probe but inflates the wall — require clean on both
+        # sides of the sample before counting it
+        if not box_clean():
+            attempts += 1
+            continue
         walls.append(w)
         if w == min(walls):
             phases = lineage.get("phase_ms") or {}
     rep += 1
+if not walls:
+    # the whole window was one long steal phase: record one honest
+    # (inflated) sample rather than nothing — min-of-1, flagged by
+    # steal_waits in the output
+    tdir = os.path.join(work, f"t{cores}_fallback")
+    pipe = CdcPipeline(table_path=tdir, n_buckets=n_buckets, salt_buckets=16)
+    t0 = time.monotonic()
+    pipe.apply_batch(spark, events)
+    walls.append(time.monotonic() - t0)
+    shutil.rmtree(tdir, ignore_errors=True)
 import json
-print(json.dumps({"min": min(walls), "phase_ms": phases}))
+print(json.dumps({"min": min(walls), "phase_ms": phases,
+                  "n_samples": len(walls), "steal_waits": attempts}))
 spark.stop()
 """
 
@@ -156,7 +205,7 @@ def cdc_min_wall(
         check=True,
     )
     rec = json.loads(out.stdout.strip().splitlines()[-1])
-    return float(rec["min"]), rec.get("phase_ms", {})
+    return float(rec["min"]), rec
 
 
 def main() -> None:
@@ -190,16 +239,17 @@ def main() -> None:
             f.write("ok")
 
     try:
+        # CDC scaling FIRST, high side first: the 32-core queries phase
+        # leaves the box all-core-throttled for minutes afterwards, which
+        # inflates exactly the ratio-critical 8-core measurement (observed:
+        # low at its floor, high +15-25 percent, efficiency understated by
+        # 0.1+). The queries phase is 22 independent walls and absorbs
+        # box noise far more gracefully than a two-point ratio does.
+        wall_high, rec_high = cdc_min_wall(high, events_dir, work, reps)
+        time.sleep(10)
+        wall_low, rec_low = cdc_min_wall(low, events_dir, work, reps)
+        phases_high = rec_high.get("phase_ms", {})
         queries = run_queries(sf_dir, cpus)
-        # Low side FIRST, high side last with a settle pause: the 32-core
-        # queries phase leaves the VM in a steal-prone state for a while,
-        # and an inflated HIGH measurement biases the ratio downward twice
-        # (numerator and the recorded throughput). Measurement ordering,
-        # not a protocol change — both sides keep warm-up + adaptive min.
-        time.sleep(10)
-        wall_low, _ = cdc_min_wall(low, events_dir, work, reps)
-        time.sleep(10)
-        wall_high, phases_high = cdc_min_wall(high, events_dir, work, reps)
         tput_high = n_events / wall_high
         tput_low = n_events / wall_low
         efficiency = (tput_high / tput_low) / (high / low)
@@ -226,6 +276,12 @@ def main() -> None:
                     # of the two points) + its phase decomposition at 4N
                     "serial_sec_est": round(serial_est, 3),
                     "phase_ms_high": phases_high,
+                    # measurement transparency: clean samples recorded and
+                    # steal-phase waits per side (see _WORKER)
+                    "samples": {
+                        "low": [rec_low.get("n_samples"), rec_low.get("steal_waits")],
+                        "high": [rec_high.get("n_samples"), rec_high.get("steal_waits")],
+                    },
                 },
             },
         }

@@ -78,6 +78,9 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--min-quality", type=float, default=0.0)
     cu.add_argument("--langs", default=None, help="comma-separated keep-list")
     cu.add_argument("--neardup-threshold", type=float, default=0.5)
+    cu.add_argument("--benchmark", default=None,
+                    help="benchmark/eval parquet to decontaminate against "
+                         "(word n-gram overlap)")
 
     sub.add_parser("package")
 
@@ -189,6 +192,7 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             langs=tuple(args.langs.split(",")) if args.langs else None,
             neardup_threshold=args.neardup_threshold,
+            benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
         )
         stats = write_curated(curated, args.out)
         print(json.dumps({"out": args.out, "splits": stats}))

@@ -44,14 +44,19 @@ def curate_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     split_salt: str = "split",
+    benchmark: DataFrame | None = None,
+    decontaminate_min_shared: int = 2,
 ) -> DataFrame:
     """The curated corpus: one row per kept document with
     (original columns, quality, pred_lang, n_tokens, split).
 
-    Drops: exact duplicates (keep min id per identical text), near-dup
-    cluster non-keepers (exact Jaccard >= ``neardup_threshold``), documents
-    below ``min_quality``, and documents whose predicted language is outside
-    ``langs`` (None = keep all languages).
+    Drops: exact duplicates (keep min id per identical text), documents
+    below ``min_quality`` or outside ``langs`` (None = keep all), documents
+    contaminated by ``benchmark`` (shared word n-grams,
+    operators/decontaminate.py — runs AFTER the cheap gates and BEFORE the
+    expensive near-dup stage, so contaminated docs never pay for
+    shingling), and near-dup cluster non-keepers (exact Jaccard >=
+    ``neardup_threshold``).
     """
     # 1. exact dedup — semi-join the corpus down to the per-text keepers
     keepers = dd.exact_dedup(docs, text_col, id_col).select(
@@ -69,6 +74,16 @@ def curate_corpus(
     )
     if langs is not None:
         gated = gated.filter(F.col("pred_lang").isin(*langs))
+
+    # 2.5 benchmark decontamination (broadcast benchmark shingle set; the
+    # corpus side never shuffles before the pair count)
+    if benchmark is not None:
+        from migration_pair_spark.operators.decontaminate import clean_corpus
+
+        gated = clean_corpus(
+            gated, benchmark, min_shared=decontaminate_min_shared,
+            id_col=id_col, text_col=text_col,
+        )
 
     # 3. near-dup cluster dedup over the gated corpus. dedup_clusters runs
     # eagerly (per-round convergence counts), so the shingle cache is fully
@@ -98,16 +113,24 @@ def curate_corpus(
 def write_curated(df: DataFrame, out_dir: str) -> dict:
     """Write the curated corpus partitioned by split (train/val/test land in
     separate directories — no repartition: the dynamic-partition writer
-    routes rows per task). Returns per-split counts + token totals."""
-    df.write.partitionBy("split").parquet(out_dir, mode="errorifexists")
-    spark = df.sparkSession
-    stats = (
-        spark.read.parquet(out_dir)
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
-        .collect()
+    routes rows per task). Returns per-split counts + token totals —
+    observed ON the write job itself (round-2 verdict nit: the old shape
+    re-read the written output for one extra scan)."""
+    from pyspark.sql import Observation
+
+    splits = ("train", "val", "test")
+    obs = Observation("curate-stats")
+    metrics = []
+    for s in splits:
+        is_s = F.col("split") == s
+        metrics.append(F.count(F.when(is_s, 1)).alias(f"n_{s}"))
+        metrics.append(F.sum(F.when(is_s, F.col("n_tokens"))).alias(f"t_{s}"))
+    df.observe(obs, *metrics).write.partitionBy("split").parquet(
+        out_dir, mode="errorifexists"
     )
+    got = obs.get
     return {
-        r["split"]: {"n_docs": int(r["n_docs"]), "n_tokens": int(r["n_tokens"] or 0)}
-        for r in stats
+        s: {"n_docs": int(got[f"n_{s}"]), "n_tokens": int(got[f"t_{s}"] or 0)}
+        for s in splits
+        if got[f"n_{s}"]
     }

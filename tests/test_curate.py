@@ -115,3 +115,28 @@ def test_curate_cli_roundtrip(spark, docs, tmp_path, capsys):
     assert payload["out"] == out_dir
     assert sum(s["n_docs"] for s in payload["splits"].values()) >= 1
     assert os.path.isdir(out_dir)
+
+
+def test_curate_with_benchmark_decontamination(spark, docs):
+    """A benchmark doc quoting BASE must knock the BASE cluster's keeper
+    out of the curated corpus (decontamination runs before near-dup, so
+    the contaminated docs never reach shingling); unrelated docs keep."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    base_kept = {
+        r.doc_id
+        for r in curate_corpus(docs, min_quality=0.2).select("doc_id").collect()
+    }
+    assert 1 in base_kept and 4 in base_kept
+    decon = {
+        r.doc_id
+        for r in curate_corpus(docs, min_quality=0.2, benchmark=bench)
+        .select("doc_id")
+        .collect()
+    }
+    # every BASE-quoting doc (1, 2, 3, 6 share >= 2 word-3-grams with the
+    # benchmark) is gone; the unrelated doc survives
+    assert 4 in decon
+    assert decon & {1, 2, 3, 6} == set()
