@@ -60,6 +60,42 @@ EPOCH_PROP = "engine.schema_epoch"
 _NEG_INF = -(2**62)
 
 
+import contextlib
+import threading
+
+_AQE_LOCK = threading.Lock()
+_AQE_STATE: dict[str, object] = {}  # session id -> {"depth": n, "prev": str}
+
+
+@contextlib.contextmanager
+def _aqe_disabled(spark):
+    """Refcounted session-conf override: the FIRST concurrent apply on a
+    session saves the previous value and disables AQE; the LAST one
+    restores it. A naive save/set/restore pair interleaved across two
+    applies (or two pipelines sharing a session) would capture 'false' as
+    the previous value and leave AQE off for every later analytical query
+    (review-caught, round 3)."""
+    sid = spark.sparkContext.applicationId
+    with _AQE_LOCK:
+        st = _AQE_STATE.get(sid)
+        if st is None:
+            st = {
+                "depth": 0,
+                "prev": spark.conf.get("spark.sql.adaptive.enabled", "true"),
+            }
+            _AQE_STATE[sid] = st
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        st["depth"] += 1
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            st["depth"] -= 1
+            if st["depth"] == 0:
+                spark.conf.set("spark.sql.adaptive.enabled", st["prev"])
+                _AQE_STATE.pop(sid, None)
+
+
 def load_applied_ranges(properties: dict) -> list[tuple[int, int]]:
     """The committed applied-LSN intervals, merged and sorted. Tables written
     before interval tracking carry only ``engine.max_lsn``; that legacy
@@ -161,15 +197,11 @@ def apply_cdc_batch(
     # (Session comes from the batch, not the table — the target behind the
     # UpsertTarget seam need not expose one, tests/test_interface.py.)
     spark = batch.sparkSession
-    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
+    with _aqe_disabled(spark):
         return _apply_cdc_batch_inner(
             table, batch, batch_id, epoch_registry, extract_text, write_mode,
             t0, phase_ms, _mark,
         )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
 
 
 def _apply_cdc_batch_inner(
@@ -237,9 +269,6 @@ def _apply_cdc_batch_inner(
             max(r["fresh_max"], cur[1]) if cur else r["fresh_max"],
         )
     batch_intervals = merge_ranges(list(per_file.values()))
-    touched = sorted(
-        {r["_b"] for r in per_group if r["n"] > (r["n_stale"] or 0)}
-    )
     # Per-bucket applied-row counts (FIXTURES F4 partition_counts) fold out
     # of the SAME gate pass — zero extra aggregate expressions, bounded
     # driver state O(touched). Semantics: fresh change events applied into
@@ -247,11 +276,14 @@ def _apply_cdc_batch_inner(
     # was still applied). Round 2 counted post-merge survivors via one
     # observe aggregate PER TOUCHED BUCKET, which builds 4096 expressions
     # for a full-spread batch on a 4096-bucket table (verdict item 7).
+    # The touched-bucket set IS this map's key set — one derivation, no
+    # hand-synced twin predicates.
     bucket_counts: dict[int, int] = {}
     for r in per_group:
         fresh_n = int(r["n"]) - int(r["n_stale"] or 0)
         if fresh_n > 0:
             bucket_counts[int(r["_b"])] = bucket_counts.get(int(r["_b"]), 0) + fresh_n
+    touched = sorted(bucket_counts)
     lineage_base = {
         "batch_id": batch_id,
         "lsn_min": int(stats.lsn_min) if stats.lsn_min is not None else None,

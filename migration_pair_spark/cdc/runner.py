@@ -117,7 +117,14 @@ class CdcPipeline:
     def changelog_policy(self) -> str:
         if self.changelog_emit is not None:
             return self.changelog_emit
-        return "per_batch" if self.write_mode == "cow" else "on_compact"
+        # MOR defaults to compaction-aligned emission ONLY when compaction
+        # actually fires automatically — with auto-compaction disabled,
+        # 'on_compact' would silently never emit anything (review-caught,
+        # round 3: a regression from the previous always-per-batch shape).
+        # Users who want manual control say changelog_emit='on_demand'.
+        if self.write_mode == "mor" and self.auto_compact_files_per_bucket > 0:
+            return "on_compact"
+        return "per_batch"
 
     def ensure_table(self, spark: SparkSession) -> LakeTable:
         if LakeTable.exists(self.table_path):
@@ -156,6 +163,16 @@ class CdcPipeline:
         Sub-batch lineage ids are batch_id*1e6 + part (collision-free up to
         a million chunks per batch)."""
         table = self.ensure_table(spark)
+        # Deferred changelog: pin the subscription base BEFORE any commit it
+        # must cover. Pinning after the apply (the previous shape) left a
+        # first-batch crash window — die between the first table commit and
+        # the base write and the restart replays the batch as skipped with a
+        # POST-commit table_version_before, silently dropping the batch from
+        # the feed (review-caught, round 3).
+        if self.changelog_dir is not None and self.changelog_policy != "per_batch":
+            from migration_pair_spark.cdc.changelog import ensure_subscription_base
+
+            ensure_subscription_base(self.changelog_dir, table.version)
         events = self.normalize(events)
         limit = self.max_events_per_batch
         if limit and limit > 0:
@@ -237,19 +254,12 @@ class CdcPipeline:
     def _maybe_changelog(self, table: LakeTable, lineage: dict) -> None:
         if self.changelog_dir is None:
             return
-        from migration_pair_spark.cdc.changelog import (
-            ensure_subscription_base,
-            materialize_changelog,
-        )
+        from migration_pair_spark.cdc.changelog import materialize_changelog
 
         if self.changelog_policy != "per_batch":
-            # Deferred emission: just pin the subscription base at the FIRST
-            # batch (the pre-batch version), so the eventual span starts
-            # exactly where per-batch emission would have. Emission itself
-            # happens on compaction (_maybe_auto_compact) or on demand.
-            base_v = lineage.get("table_version_before")
-            if base_v is not None:
-                ensure_subscription_base(self.changelog_dir, base_v)
+            # Deferred emission: the subscription base was pinned PRE-commit
+            # in apply_batch; emission happens on compaction
+            # (_maybe_auto_compact) or on demand (emit_changelog).
             return
 
         if lineage.get("skipped"):

@@ -163,8 +163,20 @@ class IcebergTable:
     # --------------------------------------------------------------- writes
 
     def _writer(self, df: DataFrame, properties: dict | None, lineage: dict | None):
+        # Snapshot summaries are NOT inherited in Iceberg (each snapshot's
+        # summary is its own map), so every commit must re-post the FULL
+        # engine.* state or a maintenance commit (compact) would silently
+        # erase the exactly-once watermark and the next apply would re-apply
+        # the entire retained tail (review-caught, round 3). LakeTable gets
+        # this for free from the manifest deep-copy.
+        merged = {
+            k: v
+            for k, v in self.properties.items()
+            if k.startswith("engine.") and k != "engine.lineage"
+        }
+        merged.update(properties or {})
         w = df.drop("_bucket").writeTo(self.name)
-        for k, v in (properties or {}).items():
+        for k, v in merged.items():
             w = w.option(f"snapshot-property.{k}", str(v))
         if lineage is not None:
             w = w.option("snapshot-property.engine.lineage", json.dumps(lineage))

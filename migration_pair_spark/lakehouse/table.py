@@ -249,6 +249,25 @@ class LakeTable:
             except FileNotFoundError:  # pragma: no cover
                 pass
 
+    def _table_write(self, df_with_bucket: DataFrame, tx_dir: str) -> None:
+        """The bucket-partitioned data write both commit paths share.
+
+        Committer v2 + no _SUCCESS, scoped to TABLE writes only (per-write
+        Hadoop options, not session config): v2 commits task files straight
+        into the tx dir at task-commit time, removing the driver-side
+        sequential rename of every file at job commit — safe HERE because
+        visibility is governed by the MANIFEST, so a mid-job crash leaves
+        only unreferenced (invisible) files, and _SUCCESS is meaningless.
+        Plain parquet outputs elsewhere (e.g. curate's corpus export) keep
+        the default v1 + _SUCCESS, whose staging-dir invisibility and
+        completeness marker they DO rely on (review-caught, round 3)."""
+        (
+            df_with_bucket.write.partitionBy("_bucket")
+            .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+            .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+            .parquet(tx_dir, mode="errorifexists")
+        )
+
     def _next_manifest(self) -> dict:
         m = json.loads(json.dumps(self.manifest))  # deep copy
         m["parent"] = m["version"]
@@ -421,17 +440,13 @@ class LakeTable:
         tx_rel = os.path.join("data", txid)
         tx_dir = os.path.join(self.path, tx_rel)
 
-        # No repartition before the write: Spark's sort-based dynamic-partition
-        # writer routes rows to bucket directories with a per-task local sort,
-        # so skipping the extra full shuffle of the merged output saves the
-        # single largest data movement of a MERGE. Cost: up to one file per
-        # (task x bucket) per snapshot instead of one per bucket — acceptable
-        # until a compaction pass exists (future work; manifest already
-        # supports it as a replace_buckets of untouched content).
-        (
-            df_with_bucket.write.partitionBy("_bucket")
-            .parquet(tx_dir, mode="errorifexists")
-        )
+        # No repartition before the write: Spark's dynamic-partition writer
+        # routes rows to bucket directories per task (concurrent writers, or
+        # a local sort past 64 buckets/task — session.py), so skipping the
+        # extra full shuffle of the merged output saves the single largest
+        # data movement of a MERGE. Cost: up to one file per (task x bucket)
+        # per snapshot instead of one per bucket — bounded by compact().
+        self._table_write(df_with_bucket, tx_dir)
 
         # Map the written files back into the manifest, bucket by bucket.
         new_files: dict[int, list[dict]] = {b: [] for b in touched_buckets}
@@ -474,10 +489,7 @@ class LakeTable:
         m = self._next_manifest()
         txid = f"tx-{m['version']:08d}-{uuid.uuid4().hex[:8]}"
         tx_dir = os.path.join(self.path, "data", txid)
-        (
-            df_with_bucket.write.partitionBy("_bucket")
-            .parquet(tx_dir, mode="errorifexists")
-        )
+        self._table_write(df_with_bucket, tx_dir)
         added: list[str] = []
         for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
             b = int(os.path.basename(bdir).split("=", 1)[1])
@@ -614,10 +626,14 @@ class LakeTable:
                     deleted.append(rel)
                 except FileNotFoundError:  # pragma: no cover - racer
                     continue
-            # prune now-empty transaction directories
+            # prune now-empty transaction directories — same age horizon as
+            # files: a concurrent writer's freshly created, still-empty
+            # staging dir looks exactly like a stale leftover
+            # (review-caught, round 3)
             if dirpath != data_root:
                 try:
-                    os.rmdir(dirpath)
+                    if os.path.getmtime(dirpath) <= cutoff:
+                        os.rmdir(dirpath)
                 except OSError:
                     pass
         return deleted

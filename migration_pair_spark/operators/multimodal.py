@@ -122,9 +122,14 @@ def extract_binary_metadata(
         decoder = _decode_stub
     pruned = df.select(id_col, bin_col)
     schema = META_SCHEMA + (f", {extra_schema}" if extra_schema else "")
-    extra_names = [
-        f.strip().split()[0] for f in extra_schema.split(",") if f.strip()
-    ]
+    # parse the DDL properly — a naive comma split mangles parameterized
+    # and nested types (decimal(10,2), map<string,int>) into garbage names
+    if extra_schema:
+        from pyspark.sql.types import _parse_datatype_string
+
+        extra_names = list(_parse_datatype_string(extra_schema).fieldNames())
+    else:
+        extra_names = []
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

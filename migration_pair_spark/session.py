@@ -68,16 +68,6 @@ def get_spark(
         # the default 1g/8g — 32 concurrent tasks + cached micro-batch state
         # at an 8g heap GC-thrash and invert core scaling (measured).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        # Output commit: v2 commits task files straight into the output dir
-        # at task-commit time, removing the driver-side sequential rename of
-        # every file at job commit (O(files) serial time per micro-batch).
-        # Safe HERE because visibility is governed by the table MANIFEST,
-        # not the directory: a crash mid-job leaves orphan data files no
-        # manifest references — invisible, same contract as a crash before
-        # manifest publish (lakehouse/table.py docstring). _SUCCESS markers
-        # are likewise meaningless under manifest-gated visibility.
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         # Dynamic-partition writes (the bucketed table commit) keep up to 64
         # open writers per task instead of SORTING the batch by partition
         # first: the sort is a memory-bandwidth-bound pass over the full

@@ -385,3 +385,23 @@ def test_changelog_crash_window_heals_on_replay(spark, tmp_path):
         ("delete", "u/b", "b1"),
         ("insert", "u/d", "d1"),
     }
+
+
+def test_mor_without_autocompact_falls_back_to_per_batch(spark, tmp_path):
+    """Review-caught (round 3): defaulting MOR to on_compact with
+    auto-compaction DISABLED would silently never emit anything — the
+    policy must fall back to per-batch emission unless compaction actually
+    fires automatically (or the user explicitly says on_demand)."""
+    out = str(tmp_path / "feed")
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / "t"),
+        n_buckets=8,
+        salt_buckets=8,
+        write_mode="mor",          # auto_compact_files_per_bucket defaults 0
+        changelog_dir=out,
+    )
+    assert pipe.changelog_policy == "per_batch"
+    pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    dirs = [d for d in os.listdir(out) if d.startswith("v")]
+    assert len(dirs) == 2  # one feed per batch, nothing silently dropped

@@ -341,3 +341,22 @@ def test_expire_snapshots_then_vacuum_reclaims_history(spark, tmp_path):
         len(fs) for fs in (os.listdir(os.path.join(t.path, "data", d))
                            for d in os.listdir(os.path.join(t.path, "data")))
     )
+
+
+def test_committer_scoped_to_table_writes(spark, tmp_path):
+    """Review-caught (round 3): committer v2 + no-_SUCCESS must apply ONLY
+    to manifest-gated table writes (per-write options), not session-wide —
+    plain parquet outputs (e.g. curate's corpus export) rely on the default
+    committer's staging-dir invisibility and _SUCCESS completeness marker."""
+    import glob as g
+
+    t = _mk(spark, str(tmp_path / "t"))
+    t.append_bucketed(_rows(spark))
+    tx_dirs = g.glob(os.path.join(t.path, "data", "tx-*"))
+    assert tx_dirs
+    # table write: no _SUCCESS (the per-write option took effect)
+    assert not g.glob(os.path.join(tx_dirs[0], "_SUCCESS"))
+    # plain write through the same session: default committer, _SUCCESS kept
+    plain = str(tmp_path / "plain")
+    spark.range(5).write.parquet(plain)
+    assert os.path.exists(os.path.join(plain, "_SUCCESS"))
