@@ -9,6 +9,7 @@ to Spark-first subcommands:
     compact           rewrite bucket files (maintenance)
     retention         expire old snapshots + vacuum orphan data files
     changelog         snapshot-diff change feed between two table versions
+    emit-changelog    deferred span emission (everything since last emit)
     curate            documents parquet -> deduped/filtered/split corpus
     package           build the --py-files zip for spark-submit
 
@@ -71,6 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--to-version", type=int, default=None,
                     help="default: current version")
     cl.add_argument("--out", required=True)
+
+    ec = sub.add_parser("emit-changelog")
+    ec.add_argument("--table-path", required=True)
+    ec.add_argument("--out", required=True,
+                    help="feed directory (span covers everything since its "
+                         "last emission / subscription base)")
 
     cu = sub.add_parser("curate")
     cu.add_argument("--docs", required=True, help="input documents parquet")
@@ -156,6 +163,18 @@ def main(argv: list[str] | None = None) -> int:
             "expired_snapshots": expired,
             "deleted_files": len(deleted),
             "retained_snapshots": table.snapshot_versions(),
+        }))
+    elif args.cmd == "emit-changelog":
+        from migration_pair_spark.cdc.changelog import emit_span
+        from migration_pair_spark.lakehouse.table import LakeTable
+
+        table = LakeTable.load(spark, args.table_path)
+        d = emit_span(table, args.out)
+        print(json.dumps({
+            "out": d,
+            "emitted": d is not None,
+            "rows": spark.read.parquet(d).count() if d else 0,
+            "to_version": table.version,
         }))
     elif args.cmd == "changelog":
         from migration_pair_spark.cdc.changelog import materialize_changelog

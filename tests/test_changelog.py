@@ -405,3 +405,27 @@ def test_mor_without_autocompact_falls_back_to_per_batch(spark, tmp_path):
     pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
     dirs = [d for d in os.listdir(out) if d.startswith("v")]
     assert len(dirs) == 2  # one feed per batch, nothing silently dropped
+
+
+def test_emit_changelog_cli(spark, tmp_path, capsys):
+    import json as _json
+
+    from migration_pair_spark.__main__ import main
+
+    out = str(tmp_path / "feed")
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / "t"),
+        n_buckets=8,
+        salt_buckets=8,
+        changelog_dir=out,
+        changelog_emit="on_demand",
+    )
+    pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    assert main(["emit-changelog", "--table-path", pipe.table_path, "--out", out]) == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["emitted"] and rec["rows"] == 3  # net: a2, c1, d1 inserts
+    # idempotent: second invocation emits nothing
+    assert main(["emit-changelog", "--table-path", pipe.table_path, "--out", out]) == 0
+    rec2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not rec2["emitted"] and rec2["rows"] == 0
