@@ -62,28 +62,33 @@ _NEG_INF = -(2**62)
 
 import contextlib
 import threading
+import weakref
 
 _AQE_LOCK = threading.Lock()
-_AQE_STATE: dict[str, object] = {}  # session id -> {"depth": n, "prev": str}
+# PER-SESSION refcount state: spark.sql.adaptive.enabled is a SparkSession
+# conf, so keying by applicationId would conflate sessions of one app (a
+# streaming foreachBatch runs on a CLONED session): one session's restore
+# would land on the other's conf and the second session's apply would run
+# with AQE still on (review-caught x2, round 3). WeakKeyDictionary so
+# per-batch session clones don't accumulate entries.
+_AQE_STATE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 @contextlib.contextmanager
 def _aqe_disabled(spark):
-    """Refcounted session-conf override: the FIRST concurrent apply on a
-    session saves the previous value and disables AQE; the LAST one
+    """Refcounted per-session conf override: the FIRST concurrent apply on
+    a session saves the previous value and disables AQE; the LAST one
     restores it. A naive save/set/restore pair interleaved across two
-    applies (or two pipelines sharing a session) would capture 'false' as
-    the previous value and leave AQE off for every later analytical query
-    (review-caught, round 3)."""
-    sid = spark.sparkContext.applicationId
+    applies on one session would capture 'false' as the previous value and
+    leave AQE off for every later analytical query."""
     with _AQE_LOCK:
-        st = _AQE_STATE.get(sid)
+        st = _AQE_STATE.get(spark)
         if st is None:
             st = {
                 "depth": 0,
                 "prev": spark.conf.get("spark.sql.adaptive.enabled", "true"),
             }
-            _AQE_STATE[sid] = st
+            _AQE_STATE[spark] = st
             spark.conf.set("spark.sql.adaptive.enabled", "false")
         st["depth"] += 1
     try:
@@ -93,7 +98,7 @@ def _aqe_disabled(spark):
             st["depth"] -= 1
             if st["depth"] == 0:
                 spark.conf.set("spark.sql.adaptive.enabled", st["prev"])
-                _AQE_STATE.pop(sid, None)
+                _AQE_STATE.pop(spark, None)
 
 
 def load_applied_ranges(properties: dict) -> list[tuple[int, int]]:

@@ -256,6 +256,30 @@ class CdcPipeline:
             return
         from migration_pair_spark.cdc.changelog import materialize_changelog
 
+        if self.changelog_policy == "per_batch":
+            # A feed that previously ran a DEFERRED policy (e.g. the MOR
+            # default before auto-compaction was turned off, or an explicit
+            # changelog_emit switch) may hold an un-emitted span behind a
+            # _BASE marker; emitting only this batch's pair would strand
+            # that gap forever — last_emitted would jump past it and no
+            # later emission could cover it (review-caught, round 3). Heal
+            # by draining the pending span up to THIS batch's base first.
+            from migration_pair_spark.cdc.changelog import (
+                _BASE_MARKER,
+                last_emitted_version,
+            )
+            import os as _os
+
+            base_marker = _os.path.join(self.changelog_dir, _BASE_MARKER)
+            v_before = lineage.get("table_version_before")
+            if _os.path.exists(base_marker) and v_before is not None:
+                with open(base_marker) as f:
+                    sub_base = int(f.read().strip())
+                v_from = last_emitted_version(self.changelog_dir)
+                v_from = sub_base if v_from is None else max(v_from, sub_base)
+                if v_from < v_before:
+                    materialize_changelog(table, self.changelog_dir, v_from, v_before)
+
         if self.changelog_policy != "per_batch":
             # Deferred emission: the subscription base was pinned PRE-commit
             # in apply_batch; emission happens on compaction

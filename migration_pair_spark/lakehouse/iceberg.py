@@ -45,6 +45,7 @@ class IcebergTable:
         self.spark = spark
         self.name = name
         self._location = location
+        self._props_cache: dict[str, str] | None = None
 
     # ---------------------------------------------------------- availability
 
@@ -74,6 +75,7 @@ class IcebergTable:
 
     def refresh(self) -> None:
         self.spark.catalog.refreshTable(self.name)
+        self._props_cache = None
 
     def _latest_snapshot(self):
         rows = (
@@ -111,14 +113,21 @@ class IcebergTable:
     @property
     def properties(self) -> dict[str, str]:
         """Engine properties from the CURRENT snapshot's summary (the
-        watermark's atomicity home), falling back to table properties."""
-        snap = self._latest_snapshot()
-        out = {
-            k: v for k, v in self._table_props().items() if k.startswith("engine.")
-        }
-        if snap is not None:
-            out.update(dict(snap["summary"]))
-        return out
+        watermark's atomicity home), falling back to table properties.
+        Cached until :meth:`refresh` — apply reads this for the gate and
+        _writer re-posts it on every commit; without the cache each commit
+        pays two extra driver queries (review-caught, round 3)."""
+        if self._props_cache is None:
+            snap = self._latest_snapshot()
+            out = {
+                k: v
+                for k, v in self._table_props().items()
+                if k.startswith("engine.")
+            }
+            if snap is not None:
+                out.update(dict(snap["summary"]))
+            self._props_cache = out
+        return dict(self._props_cache)
 
     @property
     def lww_order(self) -> tuple[str, ...]:

@@ -613,7 +613,20 @@ class LakeTable:
         deleted: list[str] = []
         cutoff = _time.time() - older_than_s
         data_root = os.path.join(self.path, "data")
+        # Snapshot every directory's mtime BEFORE deleting anything: our own
+        # unlinks bump the containing dir's mtime and a child rmdir bumps
+        # the parent's, which would make stale trees look fresh and strand
+        # empty tx directories across runs (review-caught, round 3).
+        dir_mtimes: dict[str, float] = {}
+        for dirpath, _dirs, _files in os.walk(data_root):
+            try:
+                dir_mtimes[dirpath] = os.path.getmtime(dirpath)
+            except OSError:  # pragma: no cover - racer
+                pass
+        pruned_dirs: set[str] = set()
         for dirpath, _dirs, files in os.walk(data_root, topdown=False):
+            dir_was_stale = dir_mtimes.get(dirpath, cutoff + 1) <= cutoff
+            deleted_here = 0
             for fn in files:
                 fp = os.path.join(dirpath, fn)
                 rel = os.path.relpath(fp, self.path)
@@ -624,16 +637,24 @@ class LakeTable:
                         continue
                     os.unlink(fp)
                     deleted.append(rel)
+                    deleted_here += 1
                 except FileNotFoundError:  # pragma: no cover - racer
                     continue
-            # prune now-empty transaction directories — same age horizon as
-            # files: a concurrent writer's freshly created, still-empty
-            # staging dir looks exactly like a stale leftover
-            # (review-caught, round 3)
-            if dirpath != data_root:
+            # prune now-empty transaction directories when the dir was
+            # already stale OR we just emptied it of stale content (files
+            # or child dirs of a dead transaction). A freshly created
+            # EMPTY staging dir is neither — a concurrent writer's
+            # in-flight output stays untouched; rmdir's ENOTEMPTY guards
+            # against files landing between the unlink and the prune.
+            emptied_children = any(
+                os.path.dirname(d) == dirpath for d in pruned_dirs
+            )
+            if dirpath != data_root and (
+                dir_was_stale or deleted_here or emptied_children
+            ):
                 try:
-                    if os.path.getmtime(dirpath) <= cutoff:
-                        os.rmdir(dirpath)
+                    os.rmdir(dirpath)
+                    pruned_dirs.add(dirpath)
                 except OSError:
                     pass
         return deleted

@@ -429,3 +429,45 @@ def test_emit_changelog_cli(spark, tmp_path, capsys):
     assert main(["emit-changelog", "--table-path", pipe.table_path, "--out", out]) == 0
     rec2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not rec2["emitted"] and rec2["rows"] == 0
+
+
+def test_policy_switch_drains_stranded_deferred_span(spark, tmp_path):
+    """Review-caught (round 3): a feed that ran a deferred policy holds an
+    un-emitted span behind its _BASE marker; switching to per-batch
+    emission must DRAIN that span before emitting new pairs, or the gap is
+    stranded forever (last_emitted jumps past it). Folding the whole feed
+    must reach the table's state."""
+    out = str(tmp_path / "feed")
+    # era 1: deferred (on_demand), two batches committed, nothing emitted
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / "t"),
+        n_buckets=8,
+        salt_buckets=8,
+        changelog_dir=out,
+        changelog_emit="on_demand",
+    )
+    pipe.apply_batch(spark, _events(spark, BATCH1), batch_id=0)
+    pipe.apply_batch(spark, _events(spark, BATCH2), batch_id=1)
+    assert not [d for d in os.listdir(out) if d.startswith("v")]
+    # era 2: same feed dir, per-batch policy
+    pipe2 = CdcPipeline(
+        table_path=str(tmp_path / "t"),
+        n_buckets=8,
+        salt_buckets=8,
+        changelog_dir=out,
+        changelog_emit="per_batch",
+    )
+    pipe2.apply_batch(
+        spark, _events(spark, [(7, "delete", "u/c", 20, None)]), batch_id=2
+    )
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("v"))
+    assert len(dirs) == 2  # the drained era-1 span + this batch's pair
+    bounds = [(int(d.split("-v")[0][1:]), int(d.split("-v")[1])) for d in dirs]
+    for (_, hi), (lo, _) in zip(bounds, bounds[1:]):
+        assert lo == hi  # contiguous chain, no gap
+    table = LakeTable.load(spark, str(tmp_path / "t"))
+    feed = spark.read.parquet(*[os.path.join(out, d) for d in dirs])
+    base = table.at_version(bounds[0][0], schema_from=table.manifest).read()
+    got = {tuple(r) for r in apply_changes(base, feed, key="url").collect()}
+    want = {tuple(r) for r in table.read().collect()}
+    assert got == want
