@@ -225,7 +225,12 @@ def main() -> None:
     # number at sandbox batch sizes; 3 timed reps + adaptive extension ride
     # out hypervisor-steal spikes (min is the honest statistic — steal only
     # inflates).
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+    # 8M default: the per-batch serial residue is FIXED (~1.2-2 s), so the
+    # N->4N efficiency is a function of batch size (measured: 0.72 at 4M,
+    # 0.83 at 8M — BENCH/BASELINE.md); the north rule's 10^10 regime sits
+    # far down the same curve, so the largest practical in-box batch is the
+    # most representative measurement, not the smallest.
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     low, high = 2, 8  # N and 4N; see BENCH/BASELINE.md for why not 8/32
 
@@ -256,10 +261,13 @@ def main() -> None:
         # side an independent shot at a clean window; min-of-attempts
         # converges to the floor from above on both sides.
         passes = []
+        # per-call deadline scales with batch size (a 2-core 8M apply runs
+        # ~28 s/rep; the deadline must fit warm-ups + 3 timed reps + waits)
+        dl = 210.0 * max(1.0, n_events / 4_000_000)
         for _ in range(2):
-            wh, rh = cdc_min_wall(high, events_dir, work, reps, deadline_s=210)
+            wh, rh = cdc_min_wall(high, events_dir, work, reps, deadline_s=dl)
             time.sleep(5)
-            wl, rl = cdc_min_wall(low, events_dir, work, reps, deadline_s=210)
+            wl, rl = cdc_min_wall(low, events_dir, work, reps, deadline_s=dl)
             time.sleep(5)
             passes.append(((wh, rh), (wl, rl)))
         (wall_high, rec_high) = min((p[0] for p in passes), key=lambda x: x[0])
