@@ -78,18 +78,37 @@ class IcebergTable:
         self._props_cache = None
 
     def _latest_snapshot(self):
+        """The CURRENT snapshot — resolved through the ``main`` branch ref,
+        not by sorting ``committed_at`` (millisecond granularity: two rapid
+        commits can tie and make 'latest' ambiguous, which would feed a stale
+        applied-LSN watermark to the gate — advisor-caught, round 3)."""
+        refs = (
+            self.spark.table(f"{self.name}.refs")
+            .filter((F.col("name") == "main") & (F.col("type") == "BRANCH"))
+            .collect()
+        )
+        if not refs:
+            return None
         rows = (
             self.spark.table(f"{self.name}.snapshots")
-            .orderBy(F.col("committed_at").desc())
-            .limit(1)
+            .filter(F.col("snapshot_id") == int(refs[0]["snapshot_id"]))
             .collect()
         )
         return rows[0] if rows else None
 
     @property
     def version(self) -> int:
-        snap = self._latest_snapshot()
-        return int(snap["snapshot_id"]) if snap else 0
+        """MONOTONIC commit ordinal (length of the current ancestor chain
+        from the ``history`` metadata table), NOT the raw snapshot id: the
+        UpsertTarget contract consumes version ordinally (lineage
+        table_version_before, changelog spans v_from >= v_to), and Iceberg
+        snapshot ids are random longs (advisor-caught, round 3). The
+        snapshot id itself rides lineage via :meth:`_latest_snapshot`."""
+        return int(
+            self.spark.table(f"{self.name}.history")
+            .filter(F.col("is_current_ancestor"))
+            .count()
+        )
 
     def _table_props(self) -> dict[str, str]:
         return {
@@ -125,7 +144,18 @@ class IcebergTable:
                 if k.startswith("engine.")
             }
             if snap is not None:
-                out.update(dict(snap["summary"]))
+                # filter to engine.* keys, matching the table-properties
+                # filter above: Iceberg operational summary keys
+                # (added-data-files, spark.app.id, ...) must not leak into
+                # what the seam exposes as engine properties
+                # (advisor-caught, round 3)
+                out.update(
+                    {
+                        k: v
+                        for k, v in dict(snap["summary"]).items()
+                        if k.startswith("engine.")
+                    }
+                )
             self._props_cache = out
         return dict(self._props_cache)
 
@@ -226,6 +256,9 @@ class IcebergTable:
 
     # ------------------------------------------------------------- evolution
 
+    # Types Iceberg's ALTER COLUMN can widen TO (spec: int->long,
+    # float->double, decimal scale-up). Validated before issuing DDL so an
+    # unsupported request fails with the engine's error, not Iceberg's.
     _WIDEN_SQL = {"bigint": "bigint", "int": "int", "double": "double"}
 
     def evolve_schema(self, ops: list) -> int:
@@ -254,8 +287,15 @@ class IcebergTable:
             elif isinstance(op, WidenColumn):
                 if names.get(op.name) == op.new_type:
                     continue
+                if op.new_type not in self._WIDEN_SQL:
+                    raise ValueError(
+                        f"incompatible widen {op.name}: Iceberg cannot widen "
+                        f"to {op.new_type} (supported targets: "
+                        f"{sorted(self._WIDEN_SQL)})"
+                    )
                 self.spark.sql(
-                    f"ALTER TABLE {self.name} ALTER COLUMN {op.name} TYPE {op.new_type}"
+                    f"ALTER TABLE {self.name} ALTER COLUMN {op.name} "
+                    f"TYPE {self._WIDEN_SQL[op.new_type]}"
                 )
             else:  # pragma: no cover
                 raise TypeError(f"unknown evolution op {op!r}")

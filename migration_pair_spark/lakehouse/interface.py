@@ -19,7 +19,10 @@ Mapping of each member to its Iceberg implementation (what an
 Protocol member      Iceberg equivalent
 ===================  =======================================================
 refresh()            spark.catalog.refreshTable(name) / Table.refresh()
-version              current snapshot id (snapshot.snapshotId())
+version              MONOTONIC commit ordinal (ancestor-chain length from
+                     the ``history`` metadata table) — NOT the raw snapshot
+                     id, which is a random long; version is consumed
+                     ordinally (lineage, changelog spans)
 schema               spark.table(name).schema (catalog-authoritative)
 key_col / n_buckets  table property + partition spec ``bucket(N, key)``
 properties           snapshot SUMMARY properties — read from the current

@@ -120,7 +120,7 @@ def write_curated(df: DataFrame, out_dir: str) -> dict:
 
     splits = ("train", "val", "test")
     obs = Observation("curate-stats")
-    metrics = []
+    metrics = [F.count(F.lit(1)).alias("n_all")]
     for s in splits:
         is_s = F.col("split") == s
         metrics.append(F.count(F.when(is_s, 1)).alias(f"n_{s}"))
@@ -129,6 +129,18 @@ def write_curated(df: DataFrame, out_dir: str) -> dict:
         out_dir, mode="errorifexists"
     )
     got = obs.get
+    # Observation can only count pre-declared split names; a row with any
+    # OTHER split value is written to disk but invisible to the stats. Fail
+    # loudly instead of silently under-reporting (advisor-caught, round 3) —
+    # assign_split only ever emits train/val/test, so this guards external
+    # callers feeding their own split column.
+    accounted = sum(int(got[f"n_{s}"]) for s in splits)
+    if accounted != int(got["n_all"]):
+        raise ValueError(
+            f"write_curated: {int(got['n_all']) - accounted} rows carry a "
+            f"split value outside {splits} — they were written under their "
+            f"own split= directories but are not in the returned stats"
+        )
     return {
         s: {"n_docs": int(got[f"n_{s}"]), "n_tokens": int(got[f"t_{s}"] or 0)}
         for s in splits

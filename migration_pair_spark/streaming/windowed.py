@@ -59,7 +59,7 @@ def tumbling_counts(
     ts_col: str = "ts",
     key_col: str = "event_type",
 ) -> DataFrame:
-    """Batch tumbling-window rollup: (window_start, key, n, sum_value)."""
+    """Batch tumbling-window rollup: (window_start, key, n, sum_cents)."""
     return _agg(events, window, ts_col, key_col)
 
 
