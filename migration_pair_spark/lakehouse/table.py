@@ -512,6 +512,41 @@ class LakeTable:
         self._manifest = m
         return m["version"], added
 
+    def append_buckets(
+        self,
+        df_with_bucket: DataFrame,
+        properties: dict[str, str] | None = None,
+        lineage: dict | None = None,
+    ) -> int:
+        """APPEND-ONLY commit: add the rows as new files to their buckets
+        with NO merge-on-read marking — for tables whose key is a ROUTING
+        key rather than a unique row key (e.g. the dedup signature index:
+        many (bucket_key, doc_id) rows share one LSH bucket, so MOR's
+        per-key LWW resolution would silently collapse them). The caller
+        owns row-level uniqueness (the deduper's batch gate guarantees each
+        batch lands exactly once); ``compact`` folds files without
+        resolution on a non-MOR table. Write cost is O(batch) like the MOR
+        path. Returns the new version."""
+        m = self._next_manifest()
+        txid = f"tx-{m['version']:08d}-{uuid.uuid4().hex[:8]}"
+        tx_dir = os.path.join(self.path, "data", txid)
+        self._table_write(df_with_bucket, tx_dir)
+        for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
+            b = int(os.path.basename(bdir).split("=", 1)[1])
+            for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+                m["buckets"].setdefault(str(b), []).append(
+                    {
+                        "path": os.path.relpath(fp, self.path),
+                        "schema_version": m["schema_version"],
+                    }
+                )
+        if properties:
+            m["properties"].update(properties)
+        m["lineage"] = lineage
+        self._write_manifest(m)
+        self._manifest = m
+        return m["version"]
+
     def append_bucketed(
         self,
         df: DataFrame,

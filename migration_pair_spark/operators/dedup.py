@@ -76,15 +76,17 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_rows(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS,
 ) -> DataFrame:
-    """Band the signature (rows-per-band LSH) and self-join on the band
-    bucket: docs agreeing on ANY full band become a candidate pair
-    (doc_a < doc_b, distinct)."""
-    banded = signatures.select(
+    """LSH band rows (id, band, bucket) from a signature table — the shared
+    unit of the batch self-join (:func:`lsh_candidate_pairs`) and the
+    persisted incremental index (operators/incremental.py): both banding
+    paths MUST hash identically or incremental probing would silently
+    diverge from batch dedup."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -100,6 +102,17 @@ def lsh_candidate_pairs(
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS,
+) -> DataFrame:
+    """Band the signature (rows-per-band LSH) and self-join on the band
+    bucket: docs agreeing on ANY full band become a candidate pair
+    (doc_a < doc_b, distinct)."""
+    banded = band_rows(signatures, id_col, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,351 @@
+"""Incremental near-duplicate detection against a PERSISTED signature index.
+
+Batch dedup (operators/dedup.py) recomputes shingles and MinHash signatures
+for the whole corpus every run — fine for one-shot curation, wrong for the
+operational loop at 100 TB: "1 TB of new documents arrives daily into an
+already-deduped corpus". This module persists the LSH band rows as a
+LakeTable and signs/probes ONLY the new batch:
+
+    new docs -> shingle -> sign -> band        O(batch): narrow + 1 shuffle
+    band rows JOIN index on bucket_key         new x index, bucket-pruned —
+                                               NEVER index x index
+    candidates -> fetch candidate text         bucket-pruned corpus read
+               -> exact Jaccard verify         candidate pairs only
+    all new docs + band rows appended          gated, idempotent commits
+
+Scale shape: the index table is keyed by the LSH bucket string, so a probe
+touches only the lake buckets the new batch's band rows hash into — the
+index-side SCAN opens those buckets' files and nothing else (file-level
+pin in tests/test_incremental_dedup.py). Driver state stays O(n_buckets):
+the only collects are two bounded bucket-id sets, the batch id range, and
+the replay gate.
+
+Semantic contract (pinned by the two-sequential-runs == one-batch-run test):
+
+- The index and corpus keep EVERY seen doc, accepted or rejected, because
+  duplicate transitivity flows through rejected docs: if a~b rejected b,
+  a later c~b (with c!~a) must still be rejected — exactly what one batch
+  run over the union decides. An accepted-only index would silently accept
+  c. Rejected rows are marked (keeper_doc_id != doc_id), not dropped; their
+  text is retained because IT is what future candidates verify against.
+- Doc ids must be MONOTONE across batches (each batch's min id > every seen
+  id — the same LSN discipline as the CDC core; enforced via the persisted
+  ``dedup.max_doc_id`` watermark). Under it, incremental keepers equal the
+  batch connected-component minima. Without it, a batch run could relabel
+  previously ACCEPTED docs (a new bridge doc merging two old components) —
+  no incremental system can honor that retroactively, so we gate on the
+  precondition instead of silently diverging.
+- Exactly-once ingest: each table carries a ``dedup.batches`` gate in its
+  manifest properties, updated atomically WITH the data commit (same
+  manifest), so a crash between the corpus append and the index append is
+  healed by re-running ``ingest`` with the same batch_id — the retry skips
+  the corpus commit and completes only the index append, recomputing the
+  batch's band rows from the corpus rows recorded under the batch's id
+  range. Signing is deterministic, so the healed index is byte-equal.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from migration_pair_spark.lakehouse.table import LakeTable
+from migration_pair_spark.operators import dedup as dd
+
+_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("keeper_doc_id", T.LongType(), True),
+    ]
+)
+_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket_key", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+    ]
+)
+
+
+def _with_system(df: DataFrame, bucket: F.Column) -> DataFrame:
+    return (
+        df.withColumn("_lsn", F.lit(0).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+        .withColumn("_bucket", bucket)
+    )
+
+
+class IncrementalDeduper:
+    """A persisted (corpus, signature-index) pair with exactly-once batch
+    ingest. ``corpus`` is keyed by doc_id (bucket-pruned candidate text
+    fetch); ``index`` is keyed by the LSH bucket string (bucket-pruned
+    probe)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.corpus = LakeTable.load(spark, os.path.join(root, "corpus"))
+        self.index = LakeTable.load(spark, os.path.join(root, "index"))
+        self.threshold = float(self.corpus.properties["dedup.threshold"])
+        self.bands = tuple(
+            tuple(b) for b in json.loads(self.corpus.properties["dedup.bands"])
+        )
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        corpus_buckets: int = 16,
+        index_buckets: int = 16,
+        threshold: float = 0.5,
+        bands: tuple[tuple[int, ...], ...] = dd.DEFAULT_BANDS,
+    ) -> "IncrementalDeduper":
+        props = {
+            "dedup.threshold": str(threshold),
+            "dedup.bands": json.dumps([list(b) for b in bands]),
+            "dedup.batches": "[]",
+            "dedup.max_doc_id": "-1",
+        }
+        LakeTable.create(
+            spark,
+            os.path.join(root, "corpus"),
+            _CORPUS_SCHEMA,
+            key_col="doc_id",
+            n_buckets=corpus_buckets,
+            properties=props,
+        )
+        LakeTable.create(
+            spark,
+            os.path.join(root, "index"),
+            _INDEX_SCHEMA,
+            key_col="bucket_key",
+            n_buckets=index_buckets,
+            properties={"dedup.batches": "[]"},
+        )
+        return cls(spark, root)
+
+    # ------------------------------------------------------------- internals
+
+    @staticmethod
+    def _batches(table: LakeTable) -> list[str]:
+        return json.loads(table.properties.get("dedup.batches", "[]"))
+
+    def _band_rows(self, sig: DataFrame) -> DataFrame:
+        """Band rows keyed for the index: (bucket_key, doc_id, band, bucket).
+        bucket_key is the index table's routing key — band and bucket folded
+        into one string so probe equality is a single-column equi-join."""
+        return dd.band_rows(sig, bands=self.bands).withColumn(
+            "bucket_key", F.concat_ws("|", F.col("band"), F.col("bucket"))
+        )
+
+    def probe_lake_buckets(self, bands_new: DataFrame) -> list[int]:
+        """The index lake buckets the probe must open: distinct
+        pmod(xxhash64(bucket_key), n_buckets) over the NEW batch's band rows.
+        Bounded driver collect (<= index.n_buckets values) — the same shape
+        as the CDC gate's touched-bucket set."""
+        rows = (
+            bands_new.select(
+                self.index.bucket_expr("bucket_key").alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["b"]) for r in rows)
+
+    def _probe_index(self, bands_new: DataFrame) -> tuple[DataFrame, list[int]]:
+        """Bucket-pruned index scan joined to the new band rows: candidate
+        (seen_doc, new_doc) id pairs. The index side reads ONLY the probe
+        buckets' files (new x index — the index never self-joins)."""
+        lake_buckets = self.probe_lake_buckets(bands_new)
+        idx = (
+            self.index.read_buckets(lake_buckets)
+            .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .select("bucket_key", F.col("doc_id").alias("seen_doc_id"))
+        )
+        cand = (
+            bands_new.select("bucket_key", F.col("doc_id").alias("new_doc_id"))
+            .join(idx, "bucket_key")
+            .filter(F.col("seen_doc_id") != F.col("new_doc_id"))
+            .select(
+                F.least("seen_doc_id", "new_doc_id").alias("doc_a"),
+                F.greatest("seen_doc_id", "new_doc_id").alias("doc_b"),
+                "seen_doc_id",
+            )
+            .distinct()
+        )
+        return cand, lake_buckets
+
+    def _candidate_corpus_rows(self, seen_ids: DataFrame) -> DataFrame:
+        """Text + keeper for candidate SEEN docs only, via a bucket-pruned
+        corpus read: collect the bounded set of corpus lake buckets the
+        candidate ids hash into, open only those, semi-join down to the
+        candidates."""
+        bucket_rows = (
+            seen_ids.select(self.corpus.bucket_expr("doc_id").alias("b"))
+            .distinct()
+            .collect()
+        )
+        buckets = sorted(int(r["b"]) for r in bucket_rows)
+        rows = (
+            self.corpus.read_buckets(buckets)
+            .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .select("doc_id", "text", "keeper_doc_id")
+        )
+        return rows.join(F.broadcast(seen_ids), "doc_id", "left_semi")
+
+    # --------------------------------------------------------------- ingest
+
+    def ingest(self, new_docs: DataFrame, batch_id: str) -> dict:
+        """Process one batch of (doc_id, text) rows: find near-dup pairs vs
+        the index and within the batch, decide keepers, and append docs +
+        band rows. Idempotent per ``batch_id`` (see module docstring).
+
+        Returns {"pairs": DataFrame(doc_a, doc_b, jaccard) — every verified
+        candidate pair touching the batch, "keepers": DataFrame(doc_id,
+        keeper_doc_id) for the batch, plus counters}. On a replayed batch
+        the DataFrames are None (already persisted in the corpus)."""
+        corpus_done = batch_id in self._batches(self.corpus)
+        index_done = batch_id in self._batches(self.index)
+        if corpus_done and index_done:
+            return {"replayed": True, "pairs": None, "keepers": None}
+        if corpus_done and not index_done:
+            return self._heal_index(batch_id)
+
+        # -- monotone-id gate (the precondition the equivalence proof needs)
+        lohi = new_docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        lo, hi = int(lohi["lo"]), int(lohi["hi"])
+        seen_max = int(self.corpus.properties.get("dedup.max_doc_id", "-1"))
+        if lo <= seen_max:
+            raise ValueError(
+                f"batch {batch_id}: doc ids must be monotone across batches "
+                f"(batch min {lo} <= seen max {seen_max})"
+            )
+
+        # -- sign ONLY the new batch
+        sh_new = dd.shingles(new_docs).localCheckpoint()
+        sig_new = dd.minhash_signatures(new_docs, shingles_df=sh_new)
+        bands_new = self._band_rows(sig_new).localCheckpoint()
+
+        # -- candidates: new x index (bucket-pruned) + new x new (batch LSH)
+        cand_idx, probe_buckets = self._probe_index(bands_new)
+        # checkpoint: feeds both the candidate union and the seen-id fetch —
+        # without it the probe join runs twice
+        cand_idx = cand_idx.localCheckpoint()
+        cand_new = dd.lsh_candidate_pairs(sig_new, bands=self.bands)
+        candidates = (
+            cand_idx.select("doc_a", "doc_b")
+            .union(cand_new.select("doc_a", "doc_b"))
+            .distinct()
+            .localCheckpoint()
+        )
+
+        # -- candidate-only verification: shingle the candidate SEEN docs
+        # (bucket-pruned text fetch) and the new batch, nothing else
+        seen_ids = cand_idx.select(
+            F.col("seen_doc_id").alias("doc_id")
+        ).distinct()
+        seen_rows = self._candidate_corpus_rows(seen_ids).localCheckpoint()
+        sh_seen = dd.shingles(seen_rows.select("doc_id", "text"))
+        verified = dd.jaccard_verify(
+            new_docs, candidates, shingles_df=sh_new.union(sh_seen)
+        ).localCheckpoint()
+
+        # -- keepers: connected components over duplicate edges, with every
+        # SEEN endpoint replaced by its frozen keeper (seen labels never
+        # change retroactively — the greedy contract). Component minima are
+        # the batch keepers; monotone ids make them equal the batch-global
+        # connected-component minima.
+        keeper_map = seen_rows.select(
+            F.col("doc_id").alias("_sid"), F.col("keeper_doc_id").alias("_sk")
+        )
+        edges = (
+            verified.filter(F.col("jaccard") >= self.threshold)
+            .join(keeper_map, F.col("doc_a") == F.col("_sid"), "left")
+            .select(
+                F.coalesce("_sk", "doc_a").alias("doc_a"), "doc_b"
+            )
+            .join(keeper_map, F.col("doc_b") == F.col("_sid"), "left")
+            .select("doc_a", F.coalesce("_sk", "doc_b").alias("doc_b"))
+        )
+        keepers = dd.dedup_clusters(new_docs, edges).localCheckpoint()
+        n_new = new_docs.count()
+        n_accepted = keepers.filter(
+            F.col("keeper_doc_id") == F.col("doc_id")
+        ).count()
+
+        # -- commit 1: corpus rows (docs + keepers) with the batch gate and
+        # id-range riding the same manifest
+        corpus_rows = _with_system(
+            new_docs.select("doc_id", "text").join(keepers, "doc_id"),
+            self.corpus.bucket_expr("doc_id"),
+        )
+        self.corpus.append_buckets(
+            corpus_rows,
+            properties={
+                "dedup.batches": json.dumps(self._batches(self.corpus) + [batch_id]),
+                "dedup.max_doc_id": str(hi),
+                f"dedup.batch.{batch_id}": json.dumps([lo, hi]),
+            },
+            lineage={"dedup_ingest": batch_id, "n_docs": n_new},
+        )
+        # -- commit 2: index band rows (ALL new docs — rejected ones carry
+        # transitivity). A crash here is healed by the replay gate above.
+        self._append_index(bands_new, batch_id, n_new)
+        return {
+            "replayed": False,
+            "pairs": verified,
+            "keepers": keepers,
+            "n_new": n_new,
+            "n_accepted": n_accepted,
+            "n_rejected": n_new - n_accepted,
+            "probe_buckets": probe_buckets,
+            "corpus_version": self.corpus.version,
+            "index_version": self.index.version,
+        }
+
+    def _append_index(self, bands_new: DataFrame, batch_id: str, n_docs: int) -> None:
+        rows = _with_system(
+            bands_new.select("bucket_key", "doc_id"),
+            self.index.bucket_expr("bucket_key"),
+        )
+        self.index.append_buckets(
+            rows,
+            properties={
+                "dedup.batches": json.dumps(self._batches(self.index) + [batch_id])
+            },
+            lineage={"dedup_ingest": batch_id, "n_docs": n_docs},
+        )
+
+    def _heal_index(self, batch_id: str) -> dict:
+        """Crash-retry path: the corpus committed batch_id but the index
+        didn't. Re-sign the batch's rows (recorded id range) and complete
+        the index append. Full-corpus scan filtered by the id range — the
+        rare recovery path pays one scan; the hot path never does."""
+        lo, hi = json.loads(self.corpus.properties[f"dedup.batch.{batch_id}"])
+        batch_docs = self.corpus.read().filter(
+            F.col("doc_id").between(int(lo), int(hi))
+        ).select("doc_id", "text")
+        sig = dd.minhash_signatures(batch_docs)
+        self._append_index(
+            self._band_rows(sig).localCheckpoint(), batch_id, batch_docs.count()
+        )
+        return {"replayed": True, "healed": "index", "pairs": None, "keepers": None}
+
+    # ---------------------------------------------------------------- reads
+
+    def keepers(self) -> DataFrame:
+        """(doc_id, keeper_doc_id) for every seen doc."""
+        return self.corpus.read().select("doc_id", "keeper_doc_id")
+
+    def accepted(self) -> DataFrame:
+        """The deduped corpus: docs that are their own keeper."""
+        return self.corpus.read().filter(
+            F.col("keeper_doc_id") == F.col("doc_id")
+        ).select("doc_id", "text")

@@ -1045,3 +1045,61 @@ def decontaminate_docs(spark, sf_dir):
 def stratified_sample_docs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     return sampling.sample_per_stratum(d, "lang", k=20).select("doc_id", "lang")
+
+
+@q(
+    "incremental_dedup_docs",
+    f"""
+    WITH sh AS ({_SH_SQL}),
+    sig AS ({_SIG_SQL}),
+    thr AS (SELECT CAST(max(doc_id) * 4 / 5 AS BIGINT) AS v FROM documents),
+    bands AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS bucket FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+                    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, round(i.n_inter / (za.sz + zb.sz - i.n_inter), 4) AS jaccard
+    FROM inter i JOIN szs za ON za.doc_id = i.doc_a JOIN szs zb ON zb.doc_id = i.doc_b
+    WHERE i.doc_b > (SELECT v FROM thr)
+    """,
+    "INCREMENTAL near-dup detection against a persisted signature index: "
+    "base docs (doc_id <= 80th-pctile split) build a LakeTable-backed LSH "
+    "index; the new batch signs ONLY itself and probes the index with a "
+    "bucket-pruned band join (new x index, never index x index). Oracle = "
+    "the full-corpus batch LSH pipeline restricted to pairs touching the "
+    "new batch — pinning that incremental probing finds EXACTLY the pairs "
+    "a from-scratch batch run would",
+)
+def incremental_dedup_docs(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from migration_pair_spark.operators.incremental import IncrementalDeduper
+
+    docs = t(spark, sf_dir, "documents")
+    thr = docs.agg(F.max("doc_id")).collect()[0][0] * 4 // 5
+    base = docs.filter(F.col("doc_id") <= thr).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") > thr).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="incdedup-")
+    try:
+        ded = IncrementalDeduper.create(
+            spark, root, corpus_buckets=8, index_buckets=8
+        )
+        ded.ingest(base, "base")
+        res = ded.ingest(new, "new")
+        # the pairs DataFrame is localCheckpointed inside ingest — safe to
+        # return after the temp tables are deleted
+        return res["pairs"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
