@@ -897,6 +897,70 @@ def multimodal_meta(spark, sf_dir):
 
 
 @q(
+    "multimodal_dims",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'jpeg' END AS fmt,
+           CAST(doc_id % 640 + 16 AS INT) AS width,
+           CAST(doc_id % 480 + 16 AS INT) AS height
+    FROM documents
+    """,
+    "image dimensions by PURE HEADER PARSING (no codec library): PNG IHDR "
+    "big-endian u32s, GIF little-endian screen descriptor, JPEG SOF via a "
+    "bounded segment-length walk (aggregate HOF, variable-length APP1 with "
+    "a planted FFC0 decoy). Payloads are synthesized deterministically from "
+    "doc_id with the dimensions PLANTED in the headers, so the oracle "
+    "recomputes the ground truth arithmetically — Spark must actually parse "
+    "the bytes to match",
+)
+def multimodal_dims(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    w = (F.col("doc_id") % 640 + 16).cast("int")
+    h = (F.col("doc_id") % 480 + 16).cast("int")
+
+    def be16(x):
+        return F.lpad(F.hex(x), 4, "0")
+
+    def be32(x):
+        return F.lpad(F.hex(x), 8, "0")
+
+    def le16(x):
+        return F.concat(
+            F.lpad(F.hex(x % 256), 2, "0"),
+            F.lpad(F.hex((x / 256).cast("int")), 2, "0"),
+        )
+
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"), be32(w), be32(h), F.lit("0806000000")
+    )
+    gif = F.concat(F.lit("474946383961"), le16(w), le16(h), F.lit("F70000"))
+    # variable-length APP1 whose payload STARTS with a decoy FFC0 — the
+    # parser must hop by segment length, not scan for the marker bytes
+    app1_n = (F.lit(6) + F.col("doc_id") % 7).cast("int")
+    app1 = F.concat(
+        F.lit("FFE1"),
+        be16(app1_n + 2),
+        F.lit("FFC0"),
+        F.expr("repeat('AB', cast(4 + doc_id % 7 as int))"),
+    )
+    jpeg = F.concat(
+        F.lit("FFD8FFE000104A46494600010100000100010000"),
+        app1,
+        F.lit("FFC0001108"),
+        be16(h),
+        be16(w),
+        F.lit("03012200021101031101FFDA0002FFD9"),
+    )
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 3 == 0, png)
+        .when(F.col("doc_id") % 3 == 1, gif)
+        .otherwise(jpeg)
+    )
+    return multimodal.image_dims(d.withColumn("payload", payload))
+
+
+@q(
     "range_join_click_purchase",
     """
     SELECT p.user_id, p.event_id AS l_event_id, p.ts AS l_ts,

@@ -443,3 +443,81 @@ def test_repetition_stats_signals(spark):
     assert rows[1].max_token_count == 4
     assert rows[1].dup_token_frac == 0.6
     assert rows[2].dup_token_frac == 0.0 and rows[2].max_token_count == 1
+
+
+def test_image_dims_header_parsing(spark):
+    """Pure-Catalyst image dimensions from real header bytes — PNG IHDR,
+    GIF screen descriptor, JPEG SOF via the segment-length walk. The decoy
+    case plants FFC0 INSIDE an APP1 payload: a naive marker byte-scan would
+    report (0xDEAD-ish) garbage; the length walk must hop over it."""
+    import struct
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+    def jpeg(w, h, decoy=False):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        payload = (b"\xff\xc0\xde\xad" if decoy else b"\xab\xcd\xef\x01") + b"\xab" * 6
+        app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+        sof = (
+            b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x03"
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        return b"\xff\xd8" + app0 + app1 + sof + b"\xff\xda\x00\x02" + b"\xff\xd9"
+
+    rows = [
+        (1, png(640, 480)),
+        (2, gif(320, 200)),
+        (3, jpeg(1024, 768)),
+        (4, jpeg(99, 77, decoy=True)),
+        (5, b"\x89PNG\r\n\x1a\nXXXX"),          # corrupt PNG: no IHDR tag
+        (6, b"not an image at all........"),
+        (7, None),
+        (8, b"\xff\xd8\xff\xe0\x00\x04\x00\x00"),  # JPEG that ends before any SOF
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.fmt, r.width, r.height) for r in multimodal.image_dims(df).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("jpeg", 1024, 768)
+    assert got[4] == ("jpeg", 99, 77)
+    for i in (5, 6, 7, 8):
+        assert got[i] == (None, None, None)
+
+
+def test_decode_image_kernel_agrees_with_catalyst_parser(spark):
+    """The decoder-seam kernel (pure-Python header parse, no PIL) must agree
+    byte-for-byte with the Catalyst image_dims parser, end-to-end through
+    mapInPandas — and still raise for formats that genuinely need a codec."""
+    import struct
+
+    import pytest as _pytest
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 12, 34) + b"\x08\x06\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 56, 78) + b"\xf7\x00\x00"
+    df = spark.createDataFrame(
+        [(1, png), (2, gif)], "doc_id long, payload binary"
+    )
+    via_seam = {
+        r.doc_id: (r.width, r.height)
+        for r in multimodal.extract_binary_metadata(
+            df, decoder=multimodal.decode_image, extra_schema="width int, height int"
+        ).collect()
+    }
+    via_catalyst = {
+        r.doc_id: (r.width, r.height) for r in multimodal.image_dims(df).collect()
+    }
+    assert via_seam == via_catalyst == {1: (12, 34), 2: (56, 78)}
+    # formats needing a real codec still declare themselves honestly
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"RIFF....WEBPVP8 ")

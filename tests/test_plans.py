@@ -113,6 +113,14 @@ def test_multimodal_meta_has_no_python_stage(spark):
         assert marker not in plan
 
 
+def test_multimodal_dims_has_no_python_stage(spark):
+    """Header parsing (PNG/GIF/JPEG dims) is hex/conv/substring built-ins
+    plus one aggregate HOF — a Python eval node here is a regression."""
+    plan = plan_of(REGISTRY["multimodal_dims"].fn(spark, SF), "simple")
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonMapInArrow"):
+        assert marker not in plan
+
+
 def test_jaccard_verify_broadcasts_survive_to_joins(spark):
     """VERDICT r1 #7: the broadcast hints in jaccard_verify must reach their
     joins (a hint placed before union/distinct is silently stripped)."""
