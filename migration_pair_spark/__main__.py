@@ -57,6 +57,16 @@ def main(argv: list[str] | None = None) -> int:
     de = sub.add_parser("describe")
     de.add_argument("--table-path", required=True)
 
+    rs = sub.add_parser("rescale")
+    rs.add_argument("--table-path", required=True)
+    rs.add_argument("--target-buckets", type=int, required=True,
+                    help="new n_buckets (exact multiple of the current "
+                         "count); idempotent — re-run with the same target "
+                         "to resume after a crash or confirm completion")
+    rs.add_argument("--parents-per-commit", type=int, default=None,
+                    help="migrate this many parent buckets per commit "
+                         "(bounds the work lost to a crash); default: all")
+
     rt = sub.add_parser("retention")
     rt.add_argument("--table-path", required=True)
     rt.add_argument("--keep-last", type=int, default=10,
@@ -153,6 +163,16 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable.load(spark, args.table_path)
         version = table.compact()
         print(json.dumps({"snapshot": version}))
+    elif args.cmd == "rescale":
+        from migration_pair_spark.lakehouse.table import LakeTable
+
+        table = LakeTable.load(spark, args.table_path)
+        version = table.rescale(
+            args.target_buckets, parents_per_commit=args.parents_per_commit
+        )
+        print(json.dumps({
+            "snapshot": version, "n_buckets": table.n_buckets,
+        }))
     elif args.cmd == "retention":
         from migration_pair_spark.lakehouse.table import LakeTable
 

@@ -601,6 +601,130 @@ class LakeTable:
             version = m["version"]
         return version
 
+    def rescale(
+        self, target_n_buckets: int, parents_per_commit: int | None = None
+    ) -> int:
+        """Maintenance: grow ``n_buckets`` to ``target_n_buckets`` (an exact
+        multiple of the current count) — the missing migration path when the
+        "one bucket ~ a few GB" sizing rule breaks at 10x data growth.
+
+        ``pmod(h, n*k) mod n == pmod(h, n)``, so each parent bucket p's keys
+        land exactly in child buckets {p, p+n, ..., p+(k-1)n}: the rewrite
+        is per-parent local (no cross-parent shuffle of the whole table) and
+        proceeds in CHUNKS of parents, one commit per chunk:
+
+        - phase 1 (per chunk): read the parent buckets (LWW-resolving
+          merge-on-read deltas like :meth:`compact` — a rescaled parent
+          leaves MOR state), rewrite their rows into child-tagged files,
+          and commit a manifest that still keys them under the PARENT id
+          with a ``child_bucket`` tag per entry. Every intermediate
+          manifest is fully consistent — ``n_buckets`` is unchanged, a
+          parent's file set is the union of its child files — so the table
+          stays readable (and even bucket-pruned-readable) THROUGHOUT.
+        - phase 2: one metadata-only commit flips ``n_buckets`` and re-keys
+          every entry by its child tag. Atomic like every commit.
+
+        Idempotent on crash-retry: re-running ``rescale(target)`` resumes
+        from the manifest's progress state (parents whose entries all carry
+        child tags are done; a concurrent COW merge that rewrote a parent
+        mid-migration strips its tags, and that parent is simply migrated
+        again — self-healing). A completed rescale re-run is a no-op.
+        Like ``compact``, run it without concurrent writers for efficiency;
+        correctness survives interleaving because visibility is manifest-
+        atomic either way."""
+        n_old = self.n_buckets
+        if target_n_buckets == n_old and "rescale" not in self.manifest:
+            return self.version  # completed (or never needed) — no-op replay
+        state = self.manifest.get("rescale")
+        if state is not None and state["target"] != target_n_buckets:
+            raise ValueError(
+                f"rescale to {target_n_buckets} conflicts with in-progress "
+                f"rescale to {state['target']}"
+            )
+        if state is None:
+            if target_n_buckets <= n_old or target_n_buckets % n_old != 0:
+                raise ValueError(
+                    f"target_n_buckets must be a multiple of {n_old} "
+                    f"greater than it (got {target_n_buckets})"
+                )
+
+        def done_parents(m: dict) -> set[int]:
+            listed = set(m.get("rescale", {}).get("migrated", []))
+            return {
+                p
+                for p in listed
+                if all(
+                    "child_bucket" in e for e in m["buckets"].get(str(p), [])
+                )
+            }
+
+        todo = sorted(
+            int(b)
+            for b, files in self.manifest["buckets"].items()
+            if files and int(b) not in done_parents(self.manifest)
+        )
+        chunk = parents_per_commit or max(len(todo), 1)
+        while todo:
+            batch, todo = todo[:chunk], todo[chunk:]
+            df = self.read_buckets(batch, resolve=True)
+            child = F.pmod(F.xxhash64(F.col(self.key_col)), F.lit(target_n_buckets))
+            dfb = df.withColumn("_bucket", child).repartition(
+                max(len(batch) * (target_n_buckets // n_old), 1), F.col("_bucket")
+            )
+            m = self._next_manifest()
+            txid = f"tx-{m['version']:08d}-{uuid.uuid4().hex[:8]}"
+            tx_dir = os.path.join(self.path, "data", txid)
+            self._table_write(dfb, tx_dir)
+            new_files: dict[int, list[dict]] = {p: [] for p in batch}
+            for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
+                c = int(os.path.basename(bdir).split("=", 1)[1])
+                p = c % n_old
+                if p not in new_files:
+                    raise ValueError(
+                        f"rescale: child bucket {c} maps to parent {p} "
+                        f"outside this chunk {batch} — refusing to commit"
+                    )
+                for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+                    new_files[p].append(
+                        {
+                            "path": os.path.relpath(fp, self.path),
+                            "schema_version": m["schema_version"],
+                            "child_bucket": c,
+                        }
+                    )
+            for p in batch:
+                m["buckets"][str(p)] = new_files[p]
+            m["rescale"] = {
+                "target": target_n_buckets,
+                "migrated": sorted(
+                    set(m.get("rescale", {}).get("migrated", [])) | set(batch)
+                ),
+            }
+            remaining_mor = sorted(self.mor_buckets - set(batch))
+            m["mor_buckets"] = remaining_mor
+            m["mor"] = bool(remaining_mor)
+            m["lineage"] = {"rescale_parents": batch, "target": target_n_buckets}
+            self._write_manifest(m)
+            self._manifest = m
+        # phase 2: metadata-only cutover
+        m = self._next_manifest()
+        new_buckets: dict[str, list[dict]] = {}
+        for _b, files in m["buckets"].items():
+            for e in files:
+                c = e["child_bucket"]  # all parents migrated by construction
+                new_buckets.setdefault(str(c), []).append(
+                    {k: v for k, v in e.items() if k != "child_bucket"}
+                )
+        m["buckets"] = new_buckets
+        m["n_buckets"] = target_n_buckets
+        m.pop("rescale", None)
+        m["lineage"] = {
+            "rescale_finalized": {"from": n_old, "to": target_n_buckets}
+        }
+        self._write_manifest(m)
+        self._manifest = m
+        return m["version"]
+
     # ----------------------------------------------------------- retention
 
     def expire_snapshots(self, keep_last: int = 10) -> list[int]:
