@@ -25,9 +25,19 @@ real Iceberg catalog is a config switch:
 from migration_pair_spark.lakehouse.interface import UpsertTarget
 from migration_pair_spark.lakehouse.table import (
     AddColumn,
+    AddStructField,
     LakeTable,
     RenameColumn,
+    RenameStructField,
     WidenColumn,
 )
 
-__all__ = ["LakeTable", "UpsertTarget", "AddColumn", "RenameColumn", "WidenColumn"]
+__all__ = [
+    "LakeTable",
+    "UpsertTarget",
+    "AddColumn",
+    "RenameColumn",
+    "WidenColumn",
+    "AddStructField",
+    "RenameStructField",
+]

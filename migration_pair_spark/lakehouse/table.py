@@ -69,6 +69,27 @@ class WidenColumn:
     new_type: str
 
 
+@dataclass(frozen=True)
+class AddStructField:
+    """Add a field INSIDE a struct column (multimodal metadata structs grow
+    fields far more often than tables grow columns). Metadata-only like
+    every evolution op; old rows read the field as null."""
+
+    column: str
+    name: str
+    type: str  # Spark DDL type string
+
+
+@dataclass(frozen=True)
+class RenameStructField:
+    """Rename a field inside a struct column; old files reconcile on read
+    through the struct-rename history, like top-level renames."""
+
+    column: str
+    old: str
+    new: str
+
+
 def _schema_from_json(s: str) -> T.StructType:
     return T.StructType.fromJson(json.loads(s))
 
@@ -287,19 +308,76 @@ class LakeTable:
             [], self._physical_schema(self.manifest["schema_version"])
         )
 
+    @staticmethod
+    def _conform(expr: F.Column, have: T.DataType, want: T.DataType) -> F.Column:
+        """Cast ``expr`` (of type ``have``) to ``want``, rebuilding structs
+        field-by-field: Spark's struct cast requires matching field counts,
+        but evolution ADDS fields — missing ones become nulls, extras drop,
+        nested structs recurse. The isNull guard matters: ``F.struct`` of
+        children from a NULL parent yields a non-null struct of nulls."""
+        if have == want:
+            return expr
+        if isinstance(want, T.StructType):
+            if not isinstance(have, T.StructType):
+                return F.lit(None).cast(want)
+            have_map = {f.name: f.dataType for f in have.fields}
+            parts = []
+            for f in want.fields:
+                if f.name in have_map:
+                    parts.append(
+                        LakeTable._conform(
+                            expr.getField(f.name), have_map[f.name], f.dataType
+                        ).alias(f.name)
+                    )
+                else:
+                    parts.append(F.lit(None).cast(f.dataType).alias(f.name))
+            return F.when(expr.isNull(), F.lit(None).cast(want)).otherwise(
+                F.struct(*parts)
+            )
+        return expr.cast(want)
+
     def _reconcile(self, df: DataFrame, from_version: int) -> DataFrame:
         """Map a DataFrame written at an older schema version onto the current
-        schema: apply the rename chain, add missing columns as nulls, cast
-        widened types (Iceberg name-mapping lite)."""
+        schema: apply the rename chain (top-level, then struct fields), add
+        missing columns/fields as nulls, cast widened types (Iceberg
+        name-mapping lite)."""
         m = self.manifest
         for r in m["renames"]:
             if r["at_schema_version"] > from_version and r["old"] in df.columns:
                 df = df.withColumnRenamed(r["old"], r["new"])
+
+        def cur_name(name: str) -> str:
+            # a struct rename recorded under a column name that was ITSELF
+            # renamed later must chase to the column's current name — the
+            # top-level pass above already put df's columns there
+            for r in m["renames"]:
+                if r["old"] == name:
+                    name = r["new"]
+            return name
+
+        for r in m.get("struct_renames", []):
+            col = cur_name(r["column"])
+            if r["at_schema_version"] <= from_version or col not in df.columns:
+                continue
+            have = df.schema[col].dataType
+            if isinstance(have, T.StructType) and r["old"] in have.fieldNames():
+                df = df.withColumn(
+                    col,
+                    F.col(col)
+                    .withField(r["new"], F.col(col).getField(r["old"]))
+                    .dropFields(r["old"]),
+                )
         cur = self.schema
         cols = []
         for field in cur.fields:
             if field.name in df.columns:
-                cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+                cols.append(
+                    self._conform(
+                        F.col(field.name),
+                        df.schema[field.name].dataType,
+                        field.dataType,
+                    ).alias(field.name)
+                )
             else:
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         for sc in SYSTEM_COLS:
@@ -854,8 +932,12 @@ class LakeTable:
 
     # ------------------------------------------------------------- evolution
 
-    def evolve_schema(self, ops: list[AddColumn | RenameColumn | WidenColumn]) -> int:
-        """Apply add/rename/widen as a metadata-only commit (no data rewrite);
+    def evolve_schema(
+        self,
+        ops: "list[AddColumn | RenameColumn | WidenColumn | AddStructField | RenameStructField]",
+    ) -> int:
+        """Apply add/rename/widen (top-level) and add/rename (struct fields)
+        as a metadata-only commit (no data rewrite);
         old files are reconciled on read. Incompatible ops hard-fail —
         reference analog: the schema-compliance gate
         /root/reference/Tasks/EndToEnd.cs:51-85, turned from a rejector into
@@ -990,6 +1072,107 @@ class LakeTable:
                         "name": cur_name,
                         "from": old_t,
                         "to": new_t.simpleString(),
+                        "at_schema_version": new_sv,
+                    }
+                )
+                changed = True
+            elif isinstance(op, AddStructField):
+                col = chase(op.column)
+                if col not in names:
+                    raise ValueError(
+                        f"cannot add field to missing column {op.column}"
+                    )
+                i = names.index(col)
+                dt = fields[i].dataType
+                if not isinstance(dt, T.StructType):
+                    raise ValueError(
+                        f"cannot add field to non-struct column {col} "
+                        f"({dt.simpleString()})"
+                    )
+                want = T._parse_datatype_string(op.type)
+                sadds = m.setdefault("struct_adds", [])
+                # replay detection mirrors top-level adds: the ADD HISTORY
+                # distinguishes a replayed epoch (no-op) from a genuine
+                # re-add of a field retired by a later rename
+                if any(
+                    a["column"] == col
+                    and a["name"] == op.name
+                    and a["type"] == want.simpleString()
+                    for a in sadds
+                ):
+                    continue
+                if op.name in dt.fieldNames():
+                    have = dt[op.name].dataType
+                    if have == want:
+                        continue  # effect present (pre-history manifests)
+                    raise ValueError(
+                        f"field {col}.{op.name} already exists with type "
+                        f"{have.simpleString()} (wanted {want.simpleString()})"
+                    )
+                fields[i] = T.StructField(
+                    col,
+                    T.StructType(
+                        list(dt.fields) + [T.StructField(op.name, want, True)]
+                    ),
+                    fields[i].nullable,
+                )
+                sadds.append(
+                    {
+                        "column": col,
+                        "name": op.name,
+                        "type": want.simpleString(),
+                        "at_schema_version": new_sv,
+                    }
+                )
+                changed = True
+            elif isinstance(op, RenameStructField):
+                col = chase(op.column)
+                if col not in names:
+                    raise ValueError(
+                        f"cannot rename field in missing column {op.column}"
+                    )
+                i = names.index(col)
+                dt = fields[i].dataType
+                if not isinstance(dt, T.StructType):
+                    raise ValueError(
+                        f"cannot rename field in non-struct column {col}"
+                    )
+                srenames = m.setdefault("struct_renames", [])
+                replayed = any(
+                    r["column"] == col and r["old"] == op.old and r["new"] == op.new
+                    for r in srenames
+                )
+                fnames = dt.fieldNames()
+                if replayed or (op.new in fnames and op.old not in fnames):
+                    continue  # already applied (history, or effect present)
+                if op.new in fnames:
+                    raise ValueError(
+                        f"cannot rename {col}.{op.old} -> {op.new}: target "
+                        f"field already exists"
+                    )
+                if op.old not in fnames:
+                    raise ValueError(
+                        f"cannot rename missing field {col}.{op.old}"
+                    )
+                fields[i] = T.StructField(
+                    col,
+                    T.StructType(
+                        [
+                            T.StructField(
+                                op.new if f.name == op.old else f.name,
+                                f.dataType,
+                                f.nullable,
+                            )
+                            for f in dt.fields
+                        ]
+                    ),
+                    fields[i].nullable,
+                )
+                srenames.append(
+                    {
+                        "column": col,
+                        "old": op.old,
+                        "new": op.new,
                         "at_schema_version": new_sv,
                     }
                 )

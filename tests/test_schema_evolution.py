@@ -6,6 +6,7 @@ with pre-rename events mapped onto the new names."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from migration_pair_spark import synth
@@ -174,3 +175,125 @@ def test_replay_straddling_rename_epoch_is_idempotent(spark, tmp_path):
     names = [f.name for f in t.schema.fields]
     assert names == ["url", "y"]  # no spurious 'x' re-added
     assert t.schema["y"].dataType.simpleString() == "bigint"
+
+
+# ---------------------------------------------------------------- nested
+
+
+def _nested_table(spark, path):
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("width", T.IntegerType(), True),
+                        T.StructField("codec", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    return LakeTable.create(spark, path, schema, key_col="url", n_buckets=4)
+
+
+def _nested_rows(spark, urls, width=10, codec="h264"):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(url=u, meta=Row(width=width, codec=codec)) for u in urls],
+        "url string, meta struct<width:int, codec:string>",
+    )
+
+
+def test_nested_add_and_rename_reconcile_old_files(spark, tmp_path):
+    """Struct-field add + rename are metadata-only commits: rows written
+    BEFORE the evolution read back with the renamed field populated and the
+    added field null; rows written AFTER carry both. Null structs stay null
+    (the F.struct rebuild must not invent a struct of nulls)."""
+    from pyspark.sql import Row
+
+    from migration_pair_spark.lakehouse.table import AddStructField, RenameStructField
+
+    t = _nested_table(spark, str(tmp_path / "t"))
+    t.append_bucketed(_nested_rows(spark, ["a", "b"], width=7, codec="vp9"))
+    null_row = spark.createDataFrame(
+        [Row(url="n", meta=None)], "url string, meta struct<width:int, codec:string>"
+    )
+    null_row = null_row.withColumn("_lsn", F.lit(1).cast("long")).withColumn(
+        "_deleted", F.lit(False)
+    ).withColumn("_bucket", t.bucket_expr())
+    t.append_buckets(null_row)
+
+    t.evolve_schema(
+        [
+            AddStructField("meta", "height", "int"),
+            RenameStructField("meta", "codec", "video_codec"),
+        ]
+    )
+    got = {f.name: f.dataType for f in t.schema.fields}
+    assert [f.name for f in got["meta"].fields] == ["width", "video_codec", "height"]
+
+    post = spark.createDataFrame(
+        [Row(url="c", meta=Row(width=9, video_codec="av1", height=5))],
+        "url string, meta struct<width:int, video_codec:string, height:int>",
+    )
+    post = (
+        post.withColumn("_lsn", F.lit(2).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+        .withColumn("_bucket", t.bucket_expr())
+    )
+    t.append_buckets(post)
+    rows = {r["url"]: r["meta"] for r in t.read().collect()}
+    assert rows["a"]["video_codec"] == "vp9" and rows["a"]["width"] == 7
+    assert rows["a"]["height"] is None
+    assert rows["c"] == Row(width=9, video_codec="av1", height=5)
+    assert rows["n"] is None  # null struct preserved through the rebuild
+
+
+def test_nested_evolution_replay_straddling_restart(spark, tmp_path):
+    """The crash-replay contract extends to nested ops: re-applying the same
+    epoch's struct ops (including a replay that straddles the rename) must
+    no-op; genuine conflicts still hard-fail."""
+    from migration_pair_spark.lakehouse.table import AddStructField, RenameStructField
+
+    t = _nested_table(spark, str(tmp_path / "t"))
+    ops = [
+        AddStructField("meta", "height", "int"),
+        RenameStructField("meta", "codec", "video_codec"),
+    ]
+    v = t.evolve_schema(ops)
+    # replay after 'crash': both ops already applied -> no new snapshot
+    assert t.evolve_schema(ops) == v
+    # replay of the ADD alone, now that the rename moved other fields: no-op
+    assert t.evolve_schema([AddStructField("meta", "height", "int")]) == v
+    # a rename recorded in history replays as a no-op even though 'codec'
+    # no longer exists
+    assert t.evolve_schema([RenameStructField("meta", "codec", "video_codec")]) == v
+    # genuine conflicts
+    with pytest.raises(ValueError, match="already exists"):
+        t.evolve_schema([AddStructField("meta", "height", "string")])
+    with pytest.raises(ValueError, match="target"):
+        t.evolve_schema([RenameStructField("meta", "width", "height")])
+    with pytest.raises(ValueError, match="missing field"):
+        t.evolve_schema([RenameStructField("meta", "nope", "x")])
+    with pytest.raises(ValueError, match="non-struct"):
+        t.evolve_schema([AddStructField("url", "x", "int")])
+
+
+def test_nested_rename_chases_toplevel_rename(spark, tmp_path):
+    """A struct rename recorded before the COLUMN itself was renamed must
+    still reconcile old files onto the final name chain."""
+    from migration_pair_spark.lakehouse.table import RenameColumn, RenameStructField
+
+    t = _nested_table(spark, str(tmp_path / "t"))
+    t.append_bucketed(_nested_rows(spark, ["a"], width=3, codec="vp8"))
+    t.evolve_schema([RenameStructField("meta", "codec", "video_codec")])
+    t.evolve_schema([RenameColumn("meta", "media_meta")])
+    rows = {r["url"]: r["media_meta"] for r in t.read().collect()}
+    assert rows["a"]["video_codec"] == "vp8"
+    # and a replayed struct op addressed by the OLD column name no-ops
+    v = t.version
+    assert t.evolve_schema([RenameStructField("meta", "codec", "video_codec")]) == v
