@@ -60,6 +60,8 @@ HEADLINE_QUERIES = [
     "hypertable_rollup",
     "stratified_split_docs",
     "tfidf_top_terms",
+    "multimodal_dims",
+    "incremental_dedup_docs",
 ]
 
 _WORKER = r"""

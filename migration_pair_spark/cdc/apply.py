@@ -166,6 +166,7 @@ def apply_cdc_batch(
     epoch_registry: "dict[int, list] | None" = None,
     extract_text: bool = True,
     write_mode: str = "cow",
+    coalesce_bucket_files: bool = False,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns the
     lineage record (FIXTURES.md F4). Idempotent: re-applying any prefix,
@@ -181,7 +182,19 @@ def apply_cdc_batch(
         until :meth:`LakeTable.compact` folds the deltas. Right for
         sustained high-rate streams whose keys spread across all buckets
         (measured: COW sustained throughput degrades with table size as
-        every micro-batch rewrites nearly the whole table)."""
+        every micro-batch rewrites nearly the whole table).
+
+    ``coalesce_bucket_files``: repartition the final rows by bucket before
+    the write, yielding ONE file per touched bucket per commit instead of
+    up to one per (task x bucket). Measured at the 8M-event bench shape
+    (local[8], 32 buckets, 80-byte html): write 2.5 s -> 1.7 s isolated,
+    full-apply write_commit ~10% faster, 256 -> 32 files (round-4
+    decomposition, BENCH/BASELINE.md). DEFAULT OFF because the repartition
+    is one extra full shuffle of the merged output — with real Common-Crawl
+    payloads (~100 KB html) that roughly doubles the batch's heaviest data
+    movement, and auto-compaction already bounds the file count. Turn it on
+    for thin-payload / high-bucket-count deployments where commit and read
+    amplification dominate."""
     t0 = time.monotonic()
     phase_ms: dict[str, int] = {}  # per-phase wall breakdown (lineage)
 
@@ -205,7 +218,7 @@ def apply_cdc_batch(
     with _aqe_disabled(spark):
         return _apply_cdc_batch_inner(
             table, batch, batch_id, epoch_registry, extract_text, write_mode,
-            t0, phase_ms, _mark,
+            coalesce_bucket_files, t0, phase_ms, _mark,
         )
 
 
@@ -216,6 +229,7 @@ def _apply_cdc_batch_inner(
     epoch_registry: "dict[int, list] | None",
     extract_text: bool,
     write_mode: str,
+    coalesce_bucket_files: bool,
     t0: float,
     phase_ms: dict,
     _mark,
@@ -412,13 +426,21 @@ def _apply_cdc_batch_inner(
         F.count(F.when(fresh_landed & F.col("_deleted"), 1)).alias("_del"),
     ]
 
+    def _sink(df: DataFrame) -> DataFrame:
+        # optional one-file-per-bucket coalesce (see apply_cdc_batch doc);
+        # observe attaches AFTER the repartition so the counters still ride
+        # the write job itself
+        if coalesce_bucket_files:
+            df = df.repartition(max(len(touched), 1), F.col("_bucket"))
+        return df.observe(obs, *obs_metrics)
+
     t_phase = _mark("plan", t_phase)
     if write_mode == "mor":
         # merge-on-read: append the winners as delta files — write cost is
         # O(batch); the cross-batch LWW guard moves to read/compaction time
         # (same max_by over the table's lww_order).
         new_version, _added = table.append_delta_buckets(
-            winners_phys.observe(obs, *obs_metrics),
+            _sink(winners_phys),
             touched,
             properties={**wm_props, **epoch_props},
             lineage=lineage,
@@ -447,7 +469,7 @@ def _apply_cdc_batch_inner(
         else:
             final = winners_phys
         new_version = table.replace_buckets(
-            final.observe(obs, *obs_metrics),
+            _sink(final),
             touched,
             properties={**wm_props, **epoch_props},
             lineage=lineage,

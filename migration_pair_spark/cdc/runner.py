@@ -90,6 +90,9 @@ class CdcPipeline:
     # delta files (O(batch) writes; reads resolve until compaction) — see
     # apply_cdc_batch
     write_mode: str = "cow"
+    # one file per touched bucket per commit (extra shuffle of the merged
+    # output) — measured trade-off in apply_cdc_batch's docstring
+    coalesce_bucket_files: bool = False
     # MOR maintenance policy: when any bucket accumulates more than this many
     # files, compact the offending buckets right after the commit (0 = never;
     # bounds read amplification of a long-running MOR stream)
@@ -207,6 +210,7 @@ class CdcPipeline:
                             epoch_registry=self.epoch_registry,
                             extract_text=self.extract_text,
                             write_mode=self.write_mode,
+                            coalesce_bucket_files=self.coalesce_bucket_files,
                         )
                         self._maybe_changelog(table, sub)
                         lineages.append(sub)
@@ -246,6 +250,7 @@ class CdcPipeline:
             epoch_registry=self.epoch_registry,
             extract_text=self.extract_text,
             write_mode=self.write_mode,
+            coalesce_bucket_files=self.coalesce_bucket_files,
         )
         self._maybe_changelog(table, lineage)
         self._maybe_auto_compact(table, lineage)

@@ -300,3 +300,27 @@ def test_rechunked_overlap_counts_only_truly_fresh_rows(spark, tmp_path):
     assert l2["rows_upserted"] == 7  # 1-4 and 8-10 only (NOT 10)
     t = LakeTable.load(spark, pipe.table_path)
     assert t.read().count() == 10
+
+
+def test_coalesce_bucket_files_equivalent_and_one_file_per_bucket(
+    spark, stream_dir, tmp_path
+):
+    """The opt-in coalesced write (one extra shuffle by bucket) must produce
+    a byte-identical final state to the default path, with exactly one data
+    file per touched bucket per commit."""
+    d, full = stream_dir
+    plain = CdcPipeline(
+        table_path=str(tmp_path / "plain"), n_buckets=8, salt_buckets=4
+    )
+    plain.apply_batch(spark, spark.read.parquet(d))
+    co = CdcPipeline(
+        table_path=str(tmp_path / "co"),
+        n_buckets=8,
+        salt_buckets=4,
+        coalesce_bucket_files=True,
+    )
+    co.apply_batch(spark, spark.read.parquet(d))
+    assert _state(spark, plain.table_path) == _state(spark, co.table_path)
+    t = LakeTable.load(spark, co.table_path)
+    for b, files in t.manifest["buckets"].items():
+        assert len(files) <= 1, f"bucket {b} has {len(files)} files"
