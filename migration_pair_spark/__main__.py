@@ -7,6 +7,7 @@ to Spark-first subcommands:
     backfill          events dir -> table, one batch (reference EndToEnd)
     cdc-run           events dir -> table, streaming tail (north rule)
     compact           rewrite bucket files (maintenance)
+    rescale           grow n_buckets (chunked, resumable migration)
     retention         expire old snapshots + vacuum orphan data files
     changelog         snapshot-diff change feed between two table versions
     emit-changelog    deferred span emission (everything since last emit)
@@ -140,7 +141,12 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "backfill":
         from migration_pair_spark.cdc.runner import CHANGE_STREAM_SCHEMA, CdcPipeline
 
-        pipe = CdcPipeline(table_path=args.table_path, n_buckets=cfg.n_buckets)
+        pipe = CdcPipeline(
+            table_path=args.table_path,
+            n_buckets=cfg.n_buckets,
+            write_mode=cfg.write_mode,
+            coalesce_bucket_files=cfg.coalesce_bucket_files,
+        )
         events = spark.read.schema(CHANGE_STREAM_SCHEMA).parquet(args.events)
         lineage = pipe.apply_batch(spark, events)
         print(json.dumps(lineage))
@@ -151,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
             table_path=args.table_path,
             n_buckets=cfg.n_buckets,
             write_mode=getattr(args, "write_mode", None) or cfg.write_mode,
+            coalesce_bucket_files=cfg.coalesce_bucket_files,
         )
         lineages = pipe.run_stream(
             spark, args.events, args.checkpoint,

@@ -287,15 +287,20 @@ class IcebergTable:
             elif isinstance(op, WidenColumn):
                 if names.get(op.name) == op.new_type:
                     continue
-                if op.new_type not in self._WIDEN_SQL:
+                # decimal(p,s) precision-up is also spec-legal and passes
+                # through unmapped (Iceberg validates scale itself)
+                if op.new_type not in self._WIDEN_SQL and not op.new_type.startswith(
+                    "decimal"
+                ):
                     raise ValueError(
                         f"incompatible widen {op.name}: Iceberg cannot widen "
                         f"to {op.new_type} (supported targets: "
-                        f"{sorted(self._WIDEN_SQL)})"
+                        f"{sorted(self._WIDEN_SQL)} and decimal precision-up)"
                     )
+                target = self._WIDEN_SQL.get(op.new_type, op.new_type)
                 self.spark.sql(
                     f"ALTER TABLE {self.name} ALTER COLUMN {op.name} "
-                    f"TYPE {self._WIDEN_SQL[op.new_type]}"
+                    f"TYPE {target}"
                 )
             else:  # pragma: no cover
                 raise TypeError(f"unknown evolution op {op!r}")

@@ -295,6 +295,24 @@ class LakeTable:
         m["version"] = m["version"] + 1
         return m
 
+    def _collect_written_files(
+        self, tx_dir: str, schema_version: int
+    ) -> dict[int, list[dict]]:
+        """Map one transaction directory's output back to manifest entries:
+        {bucket id: [{path, schema_version}, ...]} — the single place the
+        file-entry format lives (all four commit paths share it)."""
+        out: dict[int, list[dict]] = {}
+        for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
+            b = int(os.path.basename(bdir).split("=", 1)[1])
+            for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
+                out.setdefault(b, []).append(
+                    {
+                        "path": os.path.relpath(fp, self.path),
+                        "schema_version": schema_version,
+                    }
+                )
+        return out
+
     # ------------------------------------------------------------- read path
 
     def _physical_schema(self, schema_version: int) -> T.StructType:
@@ -527,16 +545,7 @@ class LakeTable:
         self._table_write(df_with_bucket, tx_dir)
 
         # Map the written files back into the manifest, bucket by bucket.
-        new_files: dict[int, list[dict]] = {b: [] for b in touched_buckets}
-        for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
-            b = int(os.path.basename(bdir).split("=", 1)[1])
-            for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
-                new_files.setdefault(b, []).append(
-                    {
-                        "path": os.path.relpath(fp, self.path),
-                        "schema_version": m["schema_version"],
-                    }
-                )
+        new_files = self._collect_written_files(tx_dir, m["schema_version"])
         stray = set(new_files) - set(touched_buckets)
         if stray:
             raise ValueError(
@@ -568,21 +577,14 @@ class LakeTable:
         txid = f"tx-{m['version']:08d}-{uuid.uuid4().hex[:8]}"
         tx_dir = os.path.join(self.path, "data", txid)
         self._table_write(df_with_bucket, tx_dir)
+        written = self._collect_written_files(tx_dir, m["schema_version"])
         added: list[str] = []
-        for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
-            b = int(os.path.basename(bdir).split("=", 1)[1])
-            for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
-                rel = os.path.relpath(fp, self.path)
-                added.append(rel)
-                m["buckets"].setdefault(str(b), []).append(
-                    {"path": rel, "schema_version": m["schema_version"]}
-                )
+        for b, entries in written.items():
+            m["buckets"].setdefault(str(b), []).extend(entries)
+            added.extend(e["path"] for e in entries)
         m["mor"] = True
         prior = set(m.get("mor_buckets", []))
-        m["mor_buckets"] = sorted(
-            prior | {int(os.path.basename(d).split("=", 1)[1])
-                     for d in glob.glob(os.path.join(tx_dir, "_bucket=*"))}
-        )
+        m["mor_buckets"] = sorted(prior | set(written))
         if properties:
             m["properties"].update(properties)
         m["lineage"] = lineage
@@ -609,15 +611,10 @@ class LakeTable:
         txid = f"tx-{m['version']:08d}-{uuid.uuid4().hex[:8]}"
         tx_dir = os.path.join(self.path, "data", txid)
         self._table_write(df_with_bucket, tx_dir)
-        for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
-            b = int(os.path.basename(bdir).split("=", 1)[1])
-            for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
-                m["buckets"].setdefault(str(b), []).append(
-                    {
-                        "path": os.path.relpath(fp, self.path),
-                        "schema_version": m["schema_version"],
-                    }
-                )
+        for b, entries in self._collect_written_files(
+            tx_dir, m["schema_version"]
+        ).items():
+            m["buckets"].setdefault(str(b), []).extend(entries)
         if properties:
             m["properties"].update(properties)
         m["lineage"] = lineage
@@ -754,22 +751,16 @@ class LakeTable:
             tx_dir = os.path.join(self.path, "data", txid)
             self._table_write(dfb, tx_dir)
             new_files: dict[int, list[dict]] = {p: [] for p in batch}
-            for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
-                c = int(os.path.basename(bdir).split("=", 1)[1])
+            for c, entries in self._collect_written_files(
+                tx_dir, m["schema_version"]
+            ).items():
                 p = c % n_old
                 if p not in new_files:
                     raise ValueError(
                         f"rescale: child bucket {c} maps to parent {p} "
                         f"outside this chunk {batch} — refusing to commit"
                     )
-                for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
-                    new_files[p].append(
-                        {
-                            "path": os.path.relpath(fp, self.path),
-                            "schema_version": m["schema_version"],
-                            "child_bucket": c,
-                        }
-                    )
+                new_files[p].extend({**e, "child_bucket": c} for e in entries)
             for p in batch:
                 m["buckets"][str(p)] = new_files[p]
             m["rescale"] = {
@@ -987,7 +978,13 @@ class LakeTable:
                 # applied before — possibly renamed/widened since) from a
                 # genuine re-add of a retired name (review-caught: a pure
                 # name-chase skipped legitimate re-adds; a pure name check
-                # wedged replays that straddle a rename epoch)
+                # wedged replays that straddle a rename epoch).
+                # DOCUMENTED LIMITATION: re-adding a name that was itself
+                # ADDED by evolution and later renamed away matches its own
+                # history entry and no-ops — by state alone that case is
+                # indistinguishable from a crash-replay of the original
+                # epoch, and wedging every replay is the worse failure.
+                # Re-adds with a different type still hard-fail below.
                 if any(
                     a["name"] == op.name and a["type"] == want.simpleString()
                     for a in adds
@@ -1091,9 +1088,10 @@ class LakeTable:
                     )
                 want = T._parse_datatype_string(op.type)
                 sadds = m.setdefault("struct_adds", [])
-                # replay detection mirrors top-level adds: the ADD HISTORY
-                # distinguishes a replayed epoch (no-op) from a genuine
-                # re-add of a field retired by a later rename
+                # replay detection mirrors top-level adds, including the
+                # documented limitation there: a same-type re-add of a field
+                # that evolution added and a later rename retired is
+                # state-indistinguishable from a crash-replay and no-ops
                 if any(
                     a["column"] == col
                     and a["name"] == op.name

@@ -215,11 +215,31 @@ class IncrementalDeduper:
             return {"replayed": True, "pairs": None, "keepers": None}
         if corpus_done and not index_done:
             return self._heal_index(batch_id)
+        # Heal any OTHER pending batch before processing a new one: a prior
+        # run may have crashed between its corpus and index commits, and
+        # probing an index that lacks a committed batch's band rows would
+        # silently miss near-dups against that batch's docs — an acceptance
+        # that can never be retracted (review-caught, round 4).
+        for b in self._batches(self.corpus):
+            if b not in self._batches(self.index):
+                self._heal_index(b)
 
-        # -- monotone-id gate (the precondition the equivalence proof needs)
         lohi = new_docs.agg(
             F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
         ).collect()[0]
+        if lohi["lo"] is None:
+            # quiet-day case: no documents arrived — clean no-op, no commits
+            # (the batch id stays unused and may be reused later)
+            return {
+                "replayed": False,
+                "empty": True,
+                "pairs": None,
+                "keepers": None,
+                "n_new": 0,
+                "n_accepted": 0,
+                "n_rejected": 0,
+            }
+        # -- monotone-id gate (the precondition the equivalence proof needs)
         lo, hi = int(lohi["lo"]), int(lohi["hi"])
         seen_max = int(self.corpus.properties.get("dedup.max_doc_id", "-1"))
         if lo <= seen_max:

@@ -37,17 +37,22 @@ def _decode_stub(payload: bytes) -> dict:
     return {"modality": "binary"}
 
 
-def parse_image_dims(payload: bytes) -> "dict | None":
+def parse_image_dims(payload: bytes, max_jpeg_segments: int = 24) -> "dict | None":
     """Pure-Python twin of the Catalyst header parser (:func:`image_dims`),
     for use as a decoder-seam kernel: PNG IHDR / GIF screen descriptor /
     JPEG SOF segment walk, no codec library. Returns
     {"fmt", "width", "height"} or None when the payload is not a parseable
-    image. Kept byte-for-byte consistent with image_dims (shared tests)."""
+    image — including TRUNCATED headers (a corrupt blob must yield None,
+    never raise: this runs inside mapInPandas with no per-row handler, so
+    one exception would kill the task). Kept byte-for-byte consistent with
+    image_dims (shared tests), including the segment cap."""
     import struct
 
     if payload is None or len(payload) < 10:
         return None
     if payload[:4] == b"\x89PNG" and payload[12:16] == b"IHDR":
+        if len(payload) < 24:
+            return None  # truncated mid-IHDR
         w, h = struct.unpack(">II", payload[16:24])
         return {"fmt": "png", "width": w, "height": h}
     if payload[:4] == b"GIF8":
@@ -55,7 +60,7 @@ def parse_image_dims(payload: bytes) -> "dict | None":
         return {"fmt": "gif", "width": w, "height": h}
     if payload[:3] == b"\xff\xd8\xff":
         pos = 2  # 0-based offset of the first marker after SOI
-        for _ in range(24):
+        for _ in range(max_jpeg_segments):
             if pos + 9 > len(payload) or payload[pos] != 0xFF:
                 return None
             marker = payload[pos + 1]
@@ -204,10 +209,17 @@ def image_dims(
         ).cast("int")
 
     prefix = F.upper(F.hex(F.substring(c, 1, 4)))
+    blen = F.octet_length(c)
     is_png = prefix == F.lit("89504E47")
-    is_gif = prefix.startswith("47494638")
+    # truncation guards mirror parse_image_dims: a payload cut off mid-header
+    # yields NULLs, never a garbage dimension from a short substring
+    is_gif = prefix.startswith("47494638") & (blen >= 10)
     is_jpeg = prefix.startswith("FFD8FF")
-    png_ok = is_png & (F.hex(F.substring(c, 13, 4)) == F.lit("49484452"))
+    png_ok = (
+        is_png
+        & (F.hex(F.substring(c, 13, 4)) == F.lit("49484452"))
+        & (blen >= 24)
+    )
 
     # materialize the walk ONCE in an intermediate projection; the jpeg
     # width/height/fmt expressions reference the column, not the walk

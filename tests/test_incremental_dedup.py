@@ -239,3 +239,37 @@ def test_crash_between_commits_heals_on_retry(spark, tmp_path):
 def test_monotone_id_gate(spark, deduper):
     with pytest.raises(ValueError, match="monotone"):
         deduper.ingest(_df(spark, [(1, "re-used id")]), "bad")
+
+
+def test_empty_batch_is_clean_noop(spark, deduper):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    cv, iv = deduper.corpus.version, deduper.index.version
+    res = deduper.ingest(empty, "quiet-day")
+    assert res["empty"] is True and res["n_new"] == 0
+    assert deduper.corpus.version == cv and deduper.index.version == iv
+    # the unused batch id is reusable once documents actually arrive
+    res2 = deduper.ingest(_df(spark, BATCH1), "quiet-day")
+    assert res2["n_new"] == 3
+
+
+def test_new_batch_heals_older_pending_batch_first(spark, tmp_path):
+    """A crash can leave batch b1 committed to the corpus but not the index.
+    If the operator then ingests b2 (instead of retrying b1), the probe
+    would silently miss near-dups against b1's docs — so ingest must heal
+    ALL pending batches before processing a new one (review-caught)."""
+    d = IncrementalDeduper.create(
+        spark, str(tmp_path / "d"), threshold=THR, bands=BANDS
+    )
+    d.ingest(_df(spark, BASE), "base")
+    boom = RuntimeError("crash before index append")
+    orig = d._append_index
+    d._append_index = lambda *a, **k: (_ for _ in ()).throw(boom)
+    with pytest.raises(RuntimeError):
+        d.ingest(_df(spark, BATCH1), "b1")
+    d._append_index = orig
+    assert "b1" not in d._batches(d.index)  # pending
+
+    # ingest b2 directly: must auto-heal b1 first, then find the b2~b1 chain
+    r2 = d.ingest(_df(spark, BATCH2), "b2")
+    assert "b1" in d._batches(d.index)
+    assert _keepers_map(r2["keepers"])[20] == 0  # c still chains to a via b

@@ -521,3 +521,18 @@ def test_decode_image_kernel_agrees_with_catalyst_parser(spark):
     # formats needing a real codec still declare themselves honestly
     with _pytest.raises(NotImplementedError):
         multimodal.decode_image(b"RIFF....WEBPVP8 ")
+
+
+def test_parse_image_dims_truncated_headers_return_none(spark):
+    """A corrupt/truncated blob must yield None, never raise: the kernel
+    runs inside mapInPandas with no per-row handler (review-caught: a
+    truncated PNG hit struct.unpack with <8 bytes)."""
+    png_prefix = b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR\x00\x00"  # 18 bytes
+    assert multimodal.parse_image_dims(png_prefix) is None
+    assert multimodal.parse_image_dims(b"\xff\xd8\xff\xe0\x00\x04\x00\x00") is None
+    assert multimodal.parse_image_dims(b"") is None
+    assert multimodal.parse_image_dims(None) is None
+    # and the Catalyst twin agrees on the same bytes
+    df = spark.createDataFrame([(1, png_prefix)], "doc_id long, payload binary")
+    row = multimodal.image_dims(df).collect()[0]
+    assert (row.fmt, row.width, row.height) == (None, None, None)
