@@ -8,6 +8,7 @@ to Spark-first subcommands:
     cdc-run           events dir -> table, streaming tail (north rule)
     compact           rewrite bucket files (maintenance)
     rescale           grow n_buckets (chunked, resumable migration)
+    dedup-ingest      near-dup ingest of a doc batch vs the persisted index
     retention         expire old snapshots + vacuum orphan data files
     changelog         snapshot-diff change feed between two table versions
     emit-changelog    deferred span emission (everything since last emit)
@@ -89,6 +90,20 @@ def main(argv: list[str] | None = None) -> int:
     ec.add_argument("--out", required=True,
                     help="feed directory (span covers everything since its "
                          "last emission / subscription base)")
+
+    di = sub.add_parser("dedup-ingest")
+    di.add_argument("--root", required=True,
+                    help="deduper root (corpus + signature index tables; "
+                         "created on first use)")
+    di.add_argument("--docs", required=True,
+                    help="input parquet of (doc_id, text) — the new batch")
+    di.add_argument("--batch-id", required=True,
+                    help="idempotency key: re-running the same batch id "
+                         "replays/heals instead of double-ingesting")
+    di.add_argument("--threshold", type=float, default=0.5,
+                    help="jaccard threshold for rejection (create-time only)")
+    di.add_argument("--export-accepted", default=None,
+                    help="optionally write the accepted corpus parquet here")
 
     cu = sub.add_parser("curate")
     cu.add_argument("--docs", required=True, help="input documents parquet")
@@ -180,6 +195,35 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({
             "snapshot": version, "n_buckets": table.n_buckets,
         }))
+    elif args.cmd == "dedup-ingest":
+        import os as _os
+
+        from migration_pair_spark.lakehouse.table import LakeTable
+        from migration_pair_spark.operators.incremental import IncrementalDeduper
+
+        if LakeTable.exists(_os.path.join(args.root, "corpus")):
+            ded = IncrementalDeduper(spark, args.root)
+        else:
+            ded = IncrementalDeduper.create(
+                spark, args.root, threshold=args.threshold
+            )
+        docs = spark.read.parquet(args.docs).select("doc_id", "text")
+        res = ded.ingest(docs, args.batch_id)
+        out = {
+            k: res.get(k)
+            for k in (
+                "replayed", "healed", "empty", "n_new", "n_accepted",
+                "n_rejected", "probe_buckets", "corpus_version",
+                "index_version",
+            )
+            if k in res
+        }
+        if res.get("pairs") is not None:
+            out["n_pairs"] = res["pairs"].count()
+        if args.export_accepted:
+            ded.accepted().write.parquet(args.export_accepted, mode="errorifexists")
+            out["exported"] = args.export_accepted
+        print(json.dumps(out))
     elif args.cmd == "retention":
         from migration_pair_spark.lakehouse.table import LakeTable
 

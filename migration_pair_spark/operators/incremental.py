@@ -369,3 +369,264 @@ class IncrementalDeduper:
         return self.corpus.read().filter(
             F.col("keeper_doc_id") == F.col("doc_id")
         ).select("doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Embedding-side incremental index (SRP sketches) — the "optionally SRP"
+# half of the same operational loop: new embeddings probe a persisted
+# bucket-row index instead of re-signing the whole corpus.
+# --------------------------------------------------------------------------
+
+_VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+class IncrementalEmbeddingIndex:
+    """Persisted SRP-LSH index over an embedding corpus with exactly-once
+    batch ingest — the embedding twin of :class:`IncrementalDeduper`:
+
+    - ``index``: (bucket_key = "table|bucket", vec_id) rows, LakeTable keyed
+      by bucket_key → a probe opens only the lake buckets the NEW batch's
+      bucket rows hash into (new x index, never index x index);
+    - ``vectors``: (vec_id, embedding) keyed by vec_id → candidate vectors
+      for the exact integer-quantized cosine verify are fetched with a
+      bucket-pruned read, never a corpus scan.
+
+    SRP weights are md5-derived from (n_tables, n_planes, dim) — persisting
+    the parameters IS persisting the planes, so probe-time banding is
+    bit-identical to ingest-time banding. Pairs returned by ``ingest`` are
+    exactly what the batch operator (similarity.neardup_pairs_lsh) returns
+    over the union, restricted to pairs touching the batch (oracle-pinned
+    via the all-pairs ground truth). Same batch gates / heal protocol as the
+    text deduper (module docstring)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        from migration_pair_spark.operators import similarity as sim
+
+        self.spark = spark
+        self.root = root
+        self.vectors = LakeTable.load(spark, os.path.join(root, "vectors"))
+        self.index = LakeTable.load(spark, os.path.join(root, "index"))
+        p = self.vectors.properties
+        self.threshold = float(p["emb.threshold"])
+        self.n_planes = int(p["emb.n_planes"])
+        self.n_tables = int(p["emb.n_tables"])
+        self.dim = int(p["emb.dim"])
+        self._weights = sim.srp_weights(self.n_tables, self.n_planes, self.dim)
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        threshold: float = 0.35,
+        n_planes: "int | None" = None,
+        n_tables: "int | None" = None,
+        dim: "int | None" = None,
+        vector_buckets: int = 16,
+        index_buckets: int = 16,
+    ) -> "IncrementalEmbeddingIndex":
+        from migration_pair_spark.operators import similarity as sim
+
+        if n_planes is None or n_tables is None:
+            d_planes, d_tables = sim.neardup_params(threshold)
+            n_planes = n_planes if n_planes is not None else d_planes
+            n_tables = n_tables if n_tables is not None else d_tables
+        LakeTable.create(
+            spark,
+            os.path.join(root, "vectors"),
+            _VEC_SCHEMA,
+            key_col="vec_id",
+            n_buckets=vector_buckets,
+            properties={
+                "emb.threshold": str(threshold),
+                "emb.n_planes": str(n_planes),
+                "emb.n_tables": str(n_tables),
+                "emb.dim": str(dim if dim is not None else sim.EMB_DIM),
+                "dedup.batches": "[]",
+                "dedup.max_doc_id": "-1",
+            },
+        )
+        LakeTable.create(
+            spark,
+            os.path.join(root, "index"),
+            _INDEX_SCHEMA,
+            key_col="bucket_key",
+            n_buckets=index_buckets,
+            properties={"dedup.batches": "[]"},
+        )
+        return cls(spark, root)
+
+    # ------------------------------------------------------------- internals
+
+    def _bucket_rows(self, emb: DataFrame) -> DataFrame:
+        """(bucket_key, doc_id) SRP bucket rows for the index — doc_id names
+        the column so the two index tables share one schema."""
+        from migration_pair_spark.operators import similarity as sim
+
+        rows = sim._srp_bucket_rows(
+            emb, "doc_id", "vec_id", "embedding", self._weights
+        )
+        return rows.select(
+            F.concat_ws("|", F.col("_t"), F.col("_bucket")).alias("bucket_key"),
+            "doc_id",
+        )
+
+    def probe_lake_buckets(self, bucket_rows: DataFrame) -> list[int]:
+        ids = (
+            bucket_rows.select(self.index.bucket_expr("bucket_key").alias("b"))
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["b"]) for r in ids)
+
+    def _candidates(self, new_emb: DataFrame, bucket_rows: DataFrame):
+        """(vec_a, vec_b, seen ids) candidate pairs: bucket-pruned index
+        probe (new x seen) + SRP self-join within the batch (new x new)."""
+        from migration_pair_spark.operators import similarity as sim
+
+        lake_buckets = self.probe_lake_buckets(bucket_rows)
+        idx = (
+            self.index.read_buckets(lake_buckets)
+            .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .select("bucket_key", F.col("doc_id").alias("seen_id"))
+        )
+        vs_seen = (
+            bucket_rows.select("bucket_key", F.col("doc_id").alias("new_id"))
+            .join(idx, "bucket_key")
+            .filter(F.col("seen_id") != F.col("new_id"))
+            .select(
+                F.least("seen_id", "new_id").alias("vec_a"),
+                F.greatest("seen_id", "new_id").alias("vec_b"),
+                "seen_id",
+            )
+            .distinct()
+        )
+        vs_new = sim.neardup_candidates_lsh(
+            new_emb, n_planes=self.n_planes, n_tables=self.n_tables, dim=self.dim
+        ).select("vec_a", "vec_b")
+        return vs_seen.localCheckpoint(), vs_new, lake_buckets
+
+    def _candidate_vectors(self, seen_ids: DataFrame) -> DataFrame:
+        bucket_rows = (
+            seen_ids.select(self.vectors.bucket_expr("vec_id").alias("b"))
+            .distinct()
+            .collect()
+        )
+        buckets = sorted(int(r["b"]) for r in bucket_rows)
+        rows = (
+            self.vectors.read_buckets(buckets)
+            .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .select("vec_id", "embedding")
+        )
+        return rows.join(F.broadcast(seen_ids), "vec_id", "left_semi")
+
+    # --------------------------------------------------------------- ingest
+
+    def ingest(self, new_emb: DataFrame, batch_id: str) -> dict:
+        """Process one batch of (vec_id, embedding) rows: near-dup pairs vs
+        the index and within the batch (exact verified cosine >= threshold),
+        then append vectors + bucket rows. Idempotent per batch_id; heals a
+        crashed prior batch like the text deduper."""
+        from migration_pair_spark.operators import similarity as sim
+
+        vec_done = batch_id in IncrementalDeduper._batches(self.vectors)
+        idx_done = batch_id in IncrementalDeduper._batches(self.index)
+        if vec_done and idx_done:
+            return {"replayed": True, "pairs": None}
+        if vec_done and not idx_done:
+            return self._heal_index(batch_id)
+        for b in IncrementalDeduper._batches(self.vectors):
+            if b not in IncrementalDeduper._batches(self.index):
+                self._heal_index(b)
+
+        lohi = new_emb.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).collect()[0]
+        if lohi["lo"] is None:
+            return {"replayed": False, "empty": True, "pairs": None, "n_new": 0}
+        lo, hi = int(lohi["lo"]), int(lohi["hi"])
+        seen_max = int(self.vectors.properties.get("dedup.max_doc_id", "-1"))
+        if lo <= seen_max:
+            raise ValueError(
+                f"batch {batch_id}: vec ids must be monotone across batches "
+                f"(batch min {lo} <= seen max {seen_max})"
+            )
+
+        bucket_rows = self._bucket_rows(new_emb).localCheckpoint()
+        vs_seen, vs_new, probe_buckets = self._candidates(new_emb, bucket_rows)
+        candidates = (
+            vs_seen.select("vec_a", "vec_b").union(vs_new).distinct()
+        )
+        seen_vecs = self._candidate_vectors(
+            vs_seen.select(F.col("seen_id").alias("vec_id")).distinct()
+        )
+        all_vecs = new_emb.select("vec_id", "embedding").union(seen_vecs)
+        qa = sim._quantized_side(all_vecs, "vec_a", "vec_id", "embedding")
+        qb = sim._quantized_side(all_vecs, "vec_b", "vec_id", "embedding")
+        cos = sim._exact_cosine(
+            sim._int_dot(F.col("_q_vec_a"), F.col("_q_vec_b")),
+            F.col("_n2_vec_a"),
+            F.col("_n2_vec_b"),
+        )
+        pairs = (
+            candidates.join(qa, "vec_a")
+            .join(qb, "vec_b")
+            .withColumn("_sim", cos)
+            .filter(F.col("_sim") >= F.lit(self.threshold))
+            .select("vec_a", "vec_b", F.round(F.col("_sim"), 4).alias("cosine"))
+            .localCheckpoint()
+        )
+        n_new = new_emb.count()
+
+        self.vectors.append_buckets(
+            _with_system(
+                new_emb.select("vec_id", "embedding"),
+                self.vectors.bucket_expr("vec_id"),
+            ),
+            properties={
+                "dedup.batches": json.dumps(
+                    IncrementalDeduper._batches(self.vectors) + [batch_id]
+                ),
+                "dedup.max_doc_id": str(hi),
+                f"dedup.batch.{batch_id}": json.dumps([lo, hi]),
+            },
+            lineage={"emb_ingest": batch_id, "n_vecs": n_new},
+        )
+        self._append_index(bucket_rows, batch_id, n_new)
+        return {
+            "replayed": False,
+            "pairs": pairs,
+            "n_new": n_new,
+            "probe_buckets": probe_buckets,
+            "vectors_version": self.vectors.version,
+            "index_version": self.index.version,
+        }
+
+    def _append_index(self, bucket_rows: DataFrame, batch_id: str, n: int) -> None:
+        self.index.append_buckets(
+            _with_system(
+                bucket_rows.select("bucket_key", "doc_id"),
+                self.index.bucket_expr("bucket_key"),
+            ),
+            properties={
+                "dedup.batches": json.dumps(
+                    IncrementalDeduper._batches(self.index) + [batch_id]
+                )
+            },
+            lineage={"emb_ingest": batch_id, "n_vecs": n},
+        )
+
+    def _heal_index(self, batch_id: str) -> dict:
+        lo, hi = json.loads(self.vectors.properties[f"dedup.batch.{batch_id}"])
+        batch = self.vectors.read().filter(
+            F.col("vec_id").between(int(lo), int(hi))
+        ).select("vec_id", "embedding")
+        self._append_index(
+            self._bucket_rows(batch).localCheckpoint(), batch_id, batch.count()
+        )
+        return {"replayed": True, "healed": "index", "pairs": None}

@@ -897,6 +897,39 @@ def multimodal_meta(spark, sf_dir):
 
 
 @q(
+    "incremental_embedding_neardup",
+    similarity.neardup_oracle_sql(threshold=0.35).rstrip()
+    + "\n      AND vec_b > (SELECT CAST(max(vec_id) * 4 / 5 AS BIGINT) FROM embeddings)\n",
+    "INCREMENTAL embedding near-dup against a persisted SRP index: base "
+    "vectors (vec_id <= 80th-pctile split) build the bucket-row index; the "
+    "new batch signs only itself, probes bucket-pruned (new x index), and "
+    "verifies exact quantized cosine candidate-only. Oracle = the all-pairs "
+    "ground truth restricted to pairs touching the new batch, so the row "
+    "also proves incremental recall 1.0",
+)
+def incremental_embedding_neardup(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from migration_pair_spark.operators.incremental import (
+        IncrementalEmbeddingIndex,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    thr = emb.agg(F.max("vec_id")).collect()[0][0] * 4 // 5
+    root = tempfile.mkdtemp(prefix="incemb-")
+    try:
+        idx = IncrementalEmbeddingIndex.create(
+            spark, root, threshold=0.35, vector_buckets=8, index_buckets=8
+        )
+        idx.ingest(emb.filter(F.col("vec_id") <= thr), "base")
+        res = idx.ingest(emb.filter(F.col("vec_id") > thr), "new")
+        return res["pairs"]  # localCheckpointed — safe after rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
     "multimodal_dims",
     """
     SELECT doc_id,

@@ -132,3 +132,46 @@ def test_cli_retention_expires_and_vacuums(spark, tmp_path, capsys):
     assert out["deleted_files"] > 0
     t.refresh()
     assert t.read().count() == rows_before  # current state untouched
+
+
+def test_dedup_ingest_cli(spark, tmp_path, capsys):
+    """dedup-ingest: create-on-first-use, two batches, replay no-op, and the
+    accepted-corpus export."""
+    import json
+
+    from migration_pair_spark.__main__ import main
+
+    docs1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "the quick brown fox jumps over the lazy dog tonight"),
+         (3, "completely different text about tidal pools and moss")],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog tonight"),
+         (11, "yet another novel document on geothermal gradients")],
+        "doc_id long, text string",
+    )
+    d1, d2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    docs1.write.parquet(d1)
+    docs2.write.parquet(d2)
+    root = str(tmp_path / "ded")
+
+    assert main(["dedup-ingest", "--root", root, "--docs", d1,
+                 "--batch-id", "b1"]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["n_new"] == 3 and out1["n_rejected"] == 1  # 2 dups 1
+
+    exp = str(tmp_path / "accepted")
+    assert main(["dedup-ingest", "--root", root, "--docs", d2,
+                 "--batch-id", "b2", "--export-accepted", exp]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_rejected"] == 1  # 10 dups the indexed 1
+    accepted = {r.doc_id for r in spark.read.parquet(exp).collect()}
+    assert accepted == {1, 3, 11}
+
+    # replay: no re-ingest
+    assert main(["dedup-ingest", "--root", root, "--docs", d2,
+                 "--batch-id", "b2"]) == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["replayed"] is True
