@@ -62,6 +62,7 @@ HEADLINE_QUERIES = [
     "tfidf_top_terms",
     "multimodal_dims",
     "incremental_dedup_docs",
+    "incremental_embedding_neardup",
 ]
 
 _WORKER = r"""

@@ -253,28 +253,41 @@ class IncrementalDeduper:
         sig_new = dd.minhash_signatures(new_docs, shingles_df=sh_new)
         bands_new = self._band_rows(sig_new).localCheckpoint()
 
-        # -- candidates: new x index (bucket-pruned) + new x new (batch LSH)
-        cand_idx, probe_buckets = self._probe_index(bands_new)
-        # checkpoint: feeds both the candidate union and the seen-id fetch —
-        # without it the probe join runs twice
-        cand_idx = cand_idx.localCheckpoint()
+        # -- candidates: new x index (bucket-pruned) + new x new (batch LSH).
+        # COLD-START FAST PATH: an empty index (first/base ingest) has no
+        # probe targets, no candidate seen docs, and no keeper map — skip
+        # those five jobs instead of running them against empty DataFrames
+        # (measured ~1.5-2 s of per-ingest overhead at sf0.1).
         cand_new = dd.lsh_candidate_pairs(sig_new, bands=self.bands)
-        candidates = (
-            cand_idx.select("doc_a", "doc_b")
-            .union(cand_new.select("doc_a", "doc_b"))
-            .distinct()
-            .localCheckpoint()
-        )
-
-        # -- candidate-only verification: shingle the candidate SEEN docs
-        # (bucket-pruned text fetch) and the new batch, nothing else
-        seen_ids = cand_idx.select(
-            F.col("seen_doc_id").alias("doc_id")
-        ).distinct()
-        seen_rows = self._candidate_corpus_rows(seen_ids).localCheckpoint()
-        sh_seen = dd.shingles(seen_rows.select("doc_id", "text"))
+        index_has_rows = any(self.index.manifest["buckets"].values())
+        if index_has_rows:
+            cand_idx, probe_buckets = self._probe_index(bands_new)
+            # checkpoint: feeds both the candidate union and the seen-id
+            # fetch — without it the probe join runs twice
+            cand_idx = cand_idx.localCheckpoint()
+            candidates = (
+                cand_idx.select("doc_a", "doc_b")
+                .union(cand_new.select("doc_a", "doc_b"))
+                .distinct()
+                .localCheckpoint()
+            )
+            # candidate-only verification: shingle the candidate SEEN docs
+            # (bucket-pruned text fetch) and the new batch, nothing else
+            seen_ids = cand_idx.select(
+                F.col("seen_doc_id").alias("doc_id")
+            ).distinct()
+            seen_rows = self._candidate_corpus_rows(seen_ids).localCheckpoint()
+            sh_all = sh_new.union(dd.shingles(seen_rows.select("doc_id", "text")))
+            keeper_map = seen_rows.select(
+                F.col("doc_id").alias("_sid"), F.col("keeper_doc_id").alias("_sk")
+            )
+        else:
+            probe_buckets = []
+            candidates = cand_new.select("doc_a", "doc_b").distinct().localCheckpoint()
+            sh_all = sh_new
+            keeper_map = None
         verified = dd.jaccard_verify(
-            new_docs, candidates, shingles_df=sh_new.union(sh_seen)
+            new_docs, candidates, shingles_df=sh_all
         ).localCheckpoint()
 
         # -- keepers: connected components over duplicate edges, with every
@@ -282,18 +295,17 @@ class IncrementalDeduper:
         # change retroactively — the greedy contract). Component minima are
         # the batch keepers; monotone ids make them equal the batch-global
         # connected-component minima.
-        keeper_map = seen_rows.select(
-            F.col("doc_id").alias("_sid"), F.col("keeper_doc_id").alias("_sk")
-        )
-        edges = (
-            verified.filter(F.col("jaccard") >= self.threshold)
-            .join(keeper_map, F.col("doc_a") == F.col("_sid"), "left")
-            .select(
-                F.coalesce("_sk", "doc_a").alias("doc_a"), "doc_b"
+        edges = verified.filter(F.col("jaccard") >= self.threshold)
+        if keeper_map is not None:
+            edges = (
+                edges
+                .join(keeper_map, F.col("doc_a") == F.col("_sid"), "left")
+                .select(
+                    F.coalesce("_sk", "doc_a").alias("doc_a"), "doc_b"
+                )
+                .join(keeper_map, F.col("doc_b") == F.col("_sid"), "left")
+                .select("doc_a", F.coalesce("_sk", "doc_b").alias("doc_b"))
             )
-            .join(keeper_map, F.col("doc_b") == F.col("_sid"), "left")
-            .select("doc_a", F.coalesce("_sk", "doc_b").alias("doc_b"))
-        )
         keepers = dd.dedup_clusters(new_docs, edges).localCheckpoint()
         n_new = new_docs.count()
         n_accepted = keepers.filter(
@@ -558,14 +570,24 @@ class IncrementalEmbeddingIndex:
             )
 
         bucket_rows = self._bucket_rows(new_emb).localCheckpoint()
-        vs_seen, vs_new, probe_buckets = self._candidates(new_emb, bucket_rows)
-        candidates = (
-            vs_seen.select("vec_a", "vec_b").union(vs_new).distinct()
-        )
-        seen_vecs = self._candidate_vectors(
-            vs_seen.select(F.col("seen_id").alias("vec_id")).distinct()
-        )
-        all_vecs = new_emb.select("vec_id", "embedding").union(seen_vecs)
+        # cold-start fast path mirrors the text deduper: an empty index has
+        # nothing to probe and no candidate vectors to fetch
+        if any(self.index.manifest["buckets"].values()):
+            vs_seen, vs_new, probe_buckets = self._candidates(new_emb, bucket_rows)
+            candidates = (
+                vs_seen.select("vec_a", "vec_b").union(vs_new).distinct()
+            )
+            seen_vecs = self._candidate_vectors(
+                vs_seen.select(F.col("seen_id").alias("vec_id")).distinct()
+            )
+            all_vecs = new_emb.select("vec_id", "embedding").union(seen_vecs)
+        else:
+            probe_buckets = []
+            candidates = sim.neardup_candidates_lsh(
+                new_emb, n_planes=self.n_planes, n_tables=self.n_tables,
+                dim=self.dim,
+            ).select("vec_a", "vec_b")
+            all_vecs = new_emb.select("vec_id", "embedding")
         qa = sim._quantized_side(all_vecs, "vec_a", "vec_id", "embedding")
         qb = sim._quantized_side(all_vecs, "vec_b", "vec_id", "embedding")
         cos = sim._exact_cosine(
