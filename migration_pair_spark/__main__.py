@@ -9,6 +9,7 @@ to Spark-first subcommands:
     compact           rewrite bucket files (maintenance)
     rescale           grow n_buckets (chunked, resumable migration)
     dedup-ingest      near-dup ingest of a doc batch vs the persisted index
+    dedup-stream      the same loop as a Structured Streaming tail
     retention         expire old snapshots + vacuum orphan data files
     changelog         snapshot-diff change feed between two table versions
     emit-changelog    deferred span emission (everything since last emit)
@@ -104,6 +105,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="jaccard threshold for rejection (create-time only)")
     di.add_argument("--export-accepted", default=None,
                     help="optionally write the accepted corpus parquet here")
+
+    ds = sub.add_parser("dedup-stream")
+    ds.add_argument("--root", required=True)
+    ds.add_argument("--docs", required=True,
+                    help="directory of ordered (doc_id, text) parquet files "
+                         "— tailed with availableNow")
+    ds.add_argument("--checkpoint", required=True)
+    ds.add_argument("--max-files-per-trigger", type=int, default=1)
+    ds.add_argument("--threshold", type=float, default=0.5)
 
     cu = sub.add_parser("curate")
     cu.add_argument("--docs", required=True, help="input documents parquet")
@@ -224,6 +234,24 @@ def main(argv: list[str] | None = None) -> int:
             ded.accepted().write.parquet(args.export_accepted, mode="errorifexists")
             out["exported"] = args.export_accepted
         print(json.dumps(out))
+    elif args.cmd == "dedup-stream":
+        import os as _os
+
+        from migration_pair_spark.lakehouse.table import LakeTable
+        from migration_pair_spark.operators.incremental import IncrementalDeduper
+        from migration_pair_spark.streaming.dedup_stream import run_dedup_stream
+
+        if LakeTable.exists(_os.path.join(args.root, "corpus")):
+            ded = IncrementalDeduper(spark, args.root)
+        else:
+            ded = IncrementalDeduper.create(
+                spark, args.root, threshold=args.threshold
+            )
+        results = run_dedup_stream(
+            spark, ded, args.docs, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        print(json.dumps({"batches": len(results), "stats": results}))
     elif args.cmd == "retention":
         from migration_pair_spark.lakehouse.table import LakeTable
 
