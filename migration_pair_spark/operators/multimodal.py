@@ -55,7 +55,7 @@ def parse_image_dims(payload: bytes, max_jpeg_segments: int = 24) -> "dict | Non
             return None  # truncated mid-IHDR
         w, h = struct.unpack(">II", payload[16:24])
         return {"fmt": "png", "width": w, "height": h}
-    if payload[:4] == b"GIF8":
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         return {"fmt": "gif", "width": w, "height": h}
     if payload[:3] == b"\xff\xd8\xff":
@@ -213,7 +213,11 @@ def image_dims(
     is_png = prefix == F.lit("89504E47")
     # truncation guards mirror parse_image_dims: a payload cut off mid-header
     # yields NULLs, never a garbage dimension from a short substring
-    is_gif = prefix.startswith("47494638") & (blen >= 10)
+    # full 6-byte GIF87a/GIF89a signature (a 4-byte 'GIF8' prefix would
+    # accept non-GIF headers; review-caught, round 4)
+    is_gif = F.upper(F.hex(F.substring(c, 1, 6))).isin(
+        "474946383761", "474946383961"
+    ) & (blen >= 10)
     is_jpeg = prefix.startswith("FFD8FF")
     png_ok = (
         is_png

@@ -899,7 +899,7 @@ def multimodal_meta(spark, sf_dir):
 @q(
     "incremental_embedding_neardup",
     similarity.neardup_oracle_sql(threshold=0.35).rstrip()
-    + "\n      AND vec_b > (SELECT CAST(max(vec_id) * 4 / 5 AS BIGINT) FROM embeddings)\n",
+    + "\n      AND vec_b > (SELECT (max(vec_id) * 4) // 5 FROM embeddings)\n",
     "INCREMENTAL embedding near-dup against a persisted SRP index: base "
     "vectors (vec_id <= 80th-pctile split) build the bucket-row index; the "
     "new batch signs only itself, probes bucket-pruned (new x index), and "
@@ -1149,7 +1149,7 @@ def stratified_sample_docs(spark, sf_dir):
     f"""
     WITH sh AS ({_SH_SQL}),
     sig AS ({_SIG_SQL}),
-    thr AS (SELECT CAST(max(doc_id) * 4 / 5 AS BIGINT) AS v FROM documents),
+    thr AS (SELECT (max(doc_id) * 4) // 5 AS v FROM documents),
     bands AS (
         SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS bucket FROM sig
         UNION ALL
