@@ -108,12 +108,40 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature (rows-per-band LSH) and self-join on the band
     bucket: docs agreeing on ANY full band become a candidate pair
-    (doc_a < doc_b, distinct)."""
+    (doc_a < doc_b, distinct).
+
+    HOT-BUCKET GUARD (``max_bucket``): real web corpora carry mega-clusters
+    (boilerplate, templated pages) that collapse into one band bucket, and
+    an uncapped self-join emits O(m^2) candidates for a bucket of m docs.
+    With a cap set, buckets above it contribute only their EXEMPLAR (the
+    minimum id) on the left join side, turning the bucket's output into a
+    STAR of m-1 (exemplar, other) edges — linear in m. Recall contract: a
+    bucket that hot is a near-identical cluster (every member agreed on a
+    full MinHash band); pairwise enumeration inside it is sacrificed, but
+    cluster CONNECTIVITY — what :func:`dedup_clusters` consumes — is
+    preserved whenever the exemplar verifies against the members, so dedup
+    still collapses the cluster. Under-cap buckets are exact and unchanged.
+    Candidate volume on a planted mega-cluster is pinned in
+    tests/test_hot_bucket.py. Default ``None`` keeps the exact semantics
+    (the batch catalog query's DuckDB oracle enumerates all pairs)."""
     banded = band_rows(signatures, id_col, bands)
-    a = banded.alias("a")
+    left = banded
+    if max_bucket:
+        w = Window.partitionBy("band", "bucket")
+        left = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .withColumn("_bmin", F.min(id_col).over(w))
+            .filter(
+                (F.col("_bn") <= F.lit(int(max_bucket)))
+                | (F.col(id_col) == F.col("_bmin"))
+            )
+            .drop("_bn", "_bmin")
+        )
+    a = left.alias("a")
     b = banded.alias("b")
     return (
         a.join(

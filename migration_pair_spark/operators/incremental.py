@@ -17,8 +17,24 @@ Scale shape: the index table is keyed by the LSH bucket string, so a probe
 touches only the lake buckets the new batch's band rows hash into — the
 index-side SCAN opens those buckets' files and nothing else (file-level
 pin in tests/test_incremental_dedup.py). Driver state stays O(n_buckets):
-the only collects are two bounded bucket-id sets, the batch id range, and
-the replay gate.
+the only collects are two bounded bucket-id sets, one batch-stats row, the
+replay gate, and (below the configurable cap) the verified duplicate-edge
+set of the batch.
+
+HOT-BUCKET GUARD: a web-scale boilerplate cluster of m near-identical docs
+collapses into a single LSH band bucket, and an uncapped probe join emits
+O(m^2) candidates before any verify. Index-side buckets holding more than
+``dedup.max_bucket`` rows therefore contribute only ONE exemplar row (the
+minimum seen doc id) to the probe join — new docs still meet the cluster
+(via its exemplar) and are still collapsed into it by the keeper
+substitution, but candidate volume stays linear in the batch. Recall
+contract: within an over-cap bucket, pairwise candidate enumeration is
+reduced to exemplar edges; a bucket that hot IS a near-identical cluster
+(every member agreed on a full MinHash band), so cluster membership —
+the thing dedup consumes — is preserved whenever the exemplar verifies.
+The batch-side new x new join applies the same policy via
+``dedup.lsh_candidate_pairs(max_bucket=...)``. Pinned on a planted
+mega-cluster fixture in tests/test_hot_bucket.py.
 
 Semantic contract (pinned by the two-sequential-runs == one-batch-run test):
 
@@ -29,19 +45,38 @@ Semantic contract (pinned by the two-sequential-runs == one-batch-run test):
   c. Rejected rows are marked (keeper_doc_id != doc_id), not dropped; their
   text is retained because IT is what future candidates verify against.
 - Doc ids must be MONOTONE across batches (each batch's min id > every seen
-  id — the same LSN discipline as the CDC core; enforced via the persisted
-  ``dedup.max_doc_id`` watermark). Under it, incremental keepers equal the
-  batch connected-component minima. Without it, a batch run could relabel
-  previously ACCEPTED docs (a new bridge doc merging two old components) —
-  no incremental system can honor that retroactively, so we gate on the
-  precondition instead of silently diverging.
-- Exactly-once ingest: each table carries a ``dedup.batches`` gate in its
-  manifest properties, updated atomically WITH the data commit (same
-  manifest), so a crash between the corpus append and the index append is
-  healed by re-running ``ingest`` with the same batch_id — the retry skips
-  the corpus commit and completes only the index append, recomputing the
-  batch's band rows from the corpus rows recorded under the batch's id
-  range. Signing is deterministic, so the healed index is byte-equal.
+  id — the same LSN discipline as the CDC core; enforced via the applied
+  doc-id intervals). Ids must also be UNIQUE within a batch: a duplicate
+  id would multiply rows through the keeper join and permanently commit
+  duplicate corpus rows under the exactly-once gate, so ingest gates on
+  count == countDistinct (review-caught, round 4).
+- Keeper semantics are GREEDY FROZEN-LABEL: once a doc's keeper is
+  committed it never changes. Under monotone ids this equals the batch
+  connected-component minima EXCEPT when a new doc BRIDGES two
+  previously-committed components (doc x ~ old cluster A and ~ old cluster
+  B): a batch run over the union would relabel one old cluster onto the
+  other, which no incremental system can honor retroactively. Bridges are
+  therefore DETECTED (a resolved component containing >= 2 distinct seen
+  keepers) and handled per the ``dedup.on_bridge`` policy: ``error``
+  (default) fails the batch loudly before any commit, like the monotone
+  gate; ``greedy`` proceeds — the batch's docs join the oldest bridged
+  cluster, old clusters keep their labels, and keepers() is documented to
+  diverge from a from-scratch batch run for exactly those docs. Pinned in
+  tests/test_incremental_dedup.py::test_bridge_*.
+- Exactly-once ingest: each table carries a ``dedup.applied`` doc-id
+  INTERVAL SET in its manifest properties (the same compacted-interval
+  algebra as the CDC gate's ``engine.applied_lsn_ranges`` —
+  cdc/apply.py:merge_ranges/subtract_ranges, property-tested in
+  tests/test_properties.py), updated atomically WITH the data commit.
+  Monotone contiguous ingest keeps the property at ONE interval forever —
+  O(active-pending) manifest state, not O(batch history) (pinned by the
+  200-micro-batch test in tests/test_dedup_stream.py). A crash between the
+  corpus append and the index append leaves the two interval sets
+  differing; the difference IS the pending work, and any later ingest (or
+  a retry of the same batch) heals it by re-signing exactly those id
+  ranges from the corpus. Signing is deterministic, so the healed index is
+  byte-equal. ``batch_id`` is retained for lineage/logging only — replay
+  identity is the id range itself.
 """
 
 from __future__ import annotations
@@ -49,12 +84,16 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from migration_pair_spark.cdc.apply import merge_ranges, subtract_ranges
 from migration_pair_spark.lakehouse.table import LakeTable
 from migration_pair_spark.operators import dedup as dd
+
+APPLIED_PROP = "dedup.applied"
+DEFAULT_MAX_BUCKET = 1000
 
 _CORPUS_SCHEMA = T.StructType(
     [
@@ -79,21 +118,108 @@ def _with_system(df: DataFrame, bucket: F.Column) -> DataFrame:
     )
 
 
+def applied_ranges(table: LakeTable) -> list[tuple[int, int]]:
+    """The committed applied doc-id intervals of a dedup table."""
+    return [
+        (int(lo), int(hi))
+        for lo, hi in json.loads(table.properties.get(APPLIED_PROP, "[]"))
+    ]
+
+
+def _covered(lo: int, hi: int, ranges: list[tuple[int, int]]) -> bool:
+    return not subtract_ranges([(lo, hi)], ranges)
+
+
+def _ranges_filter(col: str, ranges: list[tuple[int, int]]) -> F.Column:
+    e = F.lit(False)
+    for lo, hi in ranges:
+        e = e | F.col(col).between(int(lo), int(hi))
+    return e
+
+
+def _cap_hot_buckets(
+    rows: DataFrame, key_col: str, id_col: str, max_bucket: int | None
+) -> DataFrame:
+    """Index-side hot-bucket guard: buckets with more than ``max_bucket``
+    rows keep only their exemplar (minimum id). One window over the
+    already-bucket-pruned read; the downstream join shuffles on the same
+    key, so AQE reuses the partitioning."""
+    if not max_bucket:
+        return rows
+    w = Window.partitionBy(key_col)
+    return (
+        rows.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .withColumn("_bmin", F.min(id_col).over(w))
+        .filter(
+            (F.col("_bn") <= F.lit(int(max_bucket)))
+            | (F.col(id_col) == F.col("_bmin"))
+        )
+        .drop("_bn", "_bmin")
+    )
+
+
+class _UnionFind:
+    """Driver-side connected components for batch duplicate-edge sets below
+    the collect cap — with path compression, union-by-root-min (labels are
+    component minima, matching dedup_clusters), and bridge tracking: a
+    union joining two components that each already contain a SEEN keeper
+    (node id <= seen_max) records the bridge."""
+
+    def __init__(self, seen_max: int):
+        self.parent: dict[int, int] = {}
+        self.seen_of: dict[int, int] = {}  # root -> min seen-keeper in comp
+        self.bridges: list[tuple[int, int]] = []
+        self.seen_max = seen_max
+
+    def find(self, x: int) -> int:
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            p = self.parent[x] = self.find(p)
+        if x <= self.seen_max:
+            r = p
+            s = self.seen_of.get(r)
+            if s is None or x < s:
+                self.seen_of[r] = min(x, s) if s is not None else x
+        return p
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        # keep the smaller id as root so root == component minimum
+        if rb < ra:
+            ra, rb = rb, ra
+        sa, sb = self.seen_of.get(ra), self.seen_of.get(rb)
+        if sa is not None and sb is not None and sa != sb:
+            self.bridges.append((min(sa, sb), max(sa, sb)))
+        if sb is not None:
+            self.seen_of[ra] = min(sa, sb) if sa is not None else sb
+        self.parent[rb] = ra
+        self.seen_of.pop(rb, None)
+
+
 class IncrementalDeduper:
     """A persisted (corpus, signature-index) pair with exactly-once batch
     ingest. ``corpus`` is keyed by doc_id (bucket-pruned candidate text
     fetch); ``index`` is keyed by the LSH bucket string (bucket-pruned
     probe)."""
 
+    #: duplicate-edge sets at or below this size resolve components with a
+    #: driver union-find (one bounded collect) instead of the distributed
+    #: label-propagation loop — pure execution tuning, identical results
+    #: (equivalence pinned in tests); the fallback keeps the path unbounded.
+    driver_cc_max_edges = 500_000
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.corpus = LakeTable.load(spark, os.path.join(root, "corpus"))
         self.index = LakeTable.load(spark, os.path.join(root, "index"))
-        self.threshold = float(self.corpus.properties["dedup.threshold"])
-        self.bands = tuple(
-            tuple(b) for b in json.loads(self.corpus.properties["dedup.bands"])
-        )
+        p = self.corpus.properties
+        self.threshold = float(p["dedup.threshold"])
+        self.bands = tuple(tuple(b) for b in json.loads(p["dedup.bands"]))
+        self.max_bucket = int(p.get("dedup.max_bucket", "0")) or None
+        self.on_bridge = p.get("dedup.on_bridge", "error")
 
     @classmethod
     def create(
@@ -104,12 +230,17 @@ class IncrementalDeduper:
         index_buckets: int = 16,
         threshold: float = 0.5,
         bands: tuple[tuple[int, ...], ...] = dd.DEFAULT_BANDS,
+        max_bucket: int | None = DEFAULT_MAX_BUCKET,
+        on_bridge: str = "error",
     ) -> "IncrementalDeduper":
+        if on_bridge not in ("error", "greedy"):
+            raise ValueError(f"on_bridge must be 'error' or 'greedy', got {on_bridge!r}")
         props = {
             "dedup.threshold": str(threshold),
             "dedup.bands": json.dumps([list(b) for b in bands]),
-            "dedup.batches": "[]",
-            "dedup.max_doc_id": "-1",
+            "dedup.max_bucket": str(max_bucket or 0),
+            "dedup.on_bridge": on_bridge,
+            APPLIED_PROP: "[]",
         }
         LakeTable.create(
             spark,
@@ -125,15 +256,23 @@ class IncrementalDeduper:
             _INDEX_SCHEMA,
             key_col="bucket_key",
             n_buckets=index_buckets,
-            properties={"dedup.batches": "[]"},
+            properties={APPLIED_PROP: "[]"},
         )
         return cls(spark, root)
 
     # ------------------------------------------------------------- internals
 
-    @staticmethod
-    def _batches(table: LakeTable) -> list[str]:
-        return json.loads(table.properties.get("dedup.batches", "[]"))
+    def seen_max(self) -> int:
+        """Highest committed doc id (-1 on an empty corpus)."""
+        ranges = applied_ranges(self.corpus)
+        return ranges[-1][1] if ranges else -1
+
+    def pending_ranges(self) -> list[tuple[int, int]]:
+        """Doc-id intervals committed to the corpus but not the index — the
+        exact recovery work a crash between the two commits leaves behind."""
+        return subtract_ranges(
+            applied_ranges(self.corpus), applied_ranges(self.index)
+        )
 
     def _band_rows(self, sig: DataFrame) -> DataFrame:
         """Band rows keyed for the index: (bucket_key, doc_id, band, bucket).
@@ -160,13 +299,15 @@ class IncrementalDeduper:
     def _probe_index(self, bands_new: DataFrame) -> tuple[DataFrame, list[int]]:
         """Bucket-pruned index scan joined to the new band rows: candidate
         (seen_doc, new_doc) id pairs. The index side reads ONLY the probe
-        buckets' files (new x index — the index never self-joins)."""
+        buckets' files (new x index — the index never self-joins), and
+        over-cap buckets contribute only their exemplar (module docstring)."""
         lake_buckets = self.probe_lake_buckets(bands_new)
         idx = (
             self.index.read_buckets(lake_buckets)
             .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
             .select("bucket_key", F.col("doc_id").alias("seen_doc_id"))
         )
+        idx = _cap_hot_buckets(idx, "bucket_key", "seen_doc_id", self.max_bucket)
         cand = (
             bands_new.select("bucket_key", F.col("doc_id").alias("new_doc_id"))
             .join(idx, "bucket_key")
@@ -198,38 +339,95 @@ class IncrementalDeduper:
         )
         return rows.join(F.broadcast(seen_ids), "doc_id", "left_semi")
 
+    # ------------------------------------------------------ keeper resolution
+
+    def _resolve_keepers(
+        self, new_docs: DataFrame, edges: DataFrame, n_edges: int, seen_max: int
+    ) -> tuple[DataFrame, int, list[tuple[int, int]]]:
+        """Connected components over the keeper-substituted duplicate edges.
+        Returns (keepers DF for the batch, n_rejected, bridge pairs).
+
+        Below ``driver_cc_max_edges`` the edge set is collected and resolved
+        with a driver union-find — one bounded job instead of the O(log n)
+        distributed label-propagation rounds (each of which costs eager
+        checkpoints); above it, the distributed path runs with a
+        label-group bridge check. Both paths produce identical keepers
+        (pinned in tests by forcing the cap to 0)."""
+        if n_edges <= self.driver_cc_max_edges:
+            uf = _UnionFind(seen_max)
+            for r in edges.select("doc_a", "doc_b").collect():
+                uf.union(int(r["doc_a"]), int(r["doc_b"]))
+            mapping = {
+                x: uf.find(x) for x in list(uf.parent) if x > seen_max
+            }
+            n_rejected = sum(1 for d, k in mapping.items() if k != d)
+            if mapping:
+                map_df = self.spark.createDataFrame(
+                    [(int(d), int(k)) for d, k in mapping.items()],
+                    "doc_id long, _k long",
+                )
+                keepers = (
+                    new_docs.select("doc_id")
+                    .join(F.broadcast(map_df), "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        F.coalesce("_k", F.col("doc_id")).alias("keeper_doc_id"),
+                    )
+                )
+            else:
+                keepers = new_docs.select(
+                    "doc_id", F.col("doc_id").alias("keeper_doc_id")
+                )
+            return keepers.localCheckpoint(), n_rejected, sorted(set(uf.bridges))
+        # distributed fallback: label every edge node AND every batch doc,
+        # then read bridges off the labels (a component holding >= 2 distinct
+        # seen keepers) and keepers off the > seen_max slice
+        nodes = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .union(edges.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        all_ids = new_docs.select("doc_id").union(nodes).distinct()
+        labels = dd.dedup_clusters(all_ids, edges).localCheckpoint()
+        bridge_rows = (
+            labels.filter(F.col("doc_id") <= F.lit(seen_max))
+            .groupBy("keeper_doc_id")
+            .agg(F.collect_set("doc_id").alias("ks"))
+            .filter(F.size("ks") >= 2)
+            .select(F.sort_array("ks").alias("ks"))
+            .limit(20)
+            .collect()
+        )
+        bridges = sorted(
+            {(int(r["ks"][0]), int(r["ks"][1])) for r in bridge_rows}
+        )
+        keepers = labels.filter(F.col("doc_id") > F.lit(seen_max))
+        n_rejected = keepers.filter(
+            F.col("keeper_doc_id") != F.col("doc_id")
+        ).count()
+        return keepers, n_rejected, bridges
+
     # --------------------------------------------------------------- ingest
 
     def ingest(self, new_docs: DataFrame, batch_id: str) -> dict:
         """Process one batch of (doc_id, text) rows: find near-dup pairs vs
         the index and within the batch, decide keepers, and append docs +
-        band rows. Idempotent per ``batch_id`` (see module docstring).
+        band rows. Idempotent per doc-id range (see module docstring);
+        ``batch_id`` labels lineage only.
 
         Returns {"pairs": DataFrame(doc_a, doc_b, jaccard) — every verified
         candidate pair touching the batch, "keepers": DataFrame(doc_id,
         keeper_doc_id) for the batch, plus counters}. On a replayed batch
         the DataFrames are None (already persisted in the corpus)."""
-        corpus_done = batch_id in self._batches(self.corpus)
-        index_done = batch_id in self._batches(self.index)
-        if corpus_done and index_done:
-            return {"replayed": True, "pairs": None, "keepers": None}
-        if corpus_done and not index_done:
-            return self._heal_index(batch_id)
-        # Heal any OTHER pending batch before processing a new one: a prior
-        # run may have crashed between its corpus and index commits, and
-        # probing an index that lacks a committed batch's band rows would
-        # silently miss near-dups against that batch's docs — an acceptance
-        # that can never be retracted (review-caught, round 4).
-        for b in self._batches(self.corpus):
-            if b not in self._batches(self.index):
-                self._heal_index(b)
-
-        lohi = new_docs.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        # ONE bounded stats job: id range + row count + uniqueness gate
+        stats = new_docs.agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
         ).collect()[0]
-        if lohi["lo"] is None:
+        if stats["lo"] is None:
             # quiet-day case: no documents arrived — clean no-op, no commits
-            # (the batch id stays unused and may be reused later)
             return {
                 "replayed": False,
                 "empty": True,
@@ -239,110 +437,170 @@ class IncrementalDeduper:
                 "n_accepted": 0,
                 "n_rejected": 0,
             }
-        # -- monotone-id gate (the precondition the equivalence proof needs)
-        lo, hi = int(lohi["lo"]), int(lohi["hi"])
-        seen_max = int(self.corpus.properties.get("dedup.max_doc_id", "-1"))
+        lo, hi, n_new = int(stats["lo"]), int(stats["hi"]), int(stats["n"])
+        if int(stats["nd"]) != n_new:
+            raise ValueError(
+                f"batch {batch_id}: doc ids must be unique within a batch "
+                f"({n_new - int(stats['nd'])} duplicated) — a duplicate id "
+                "would commit duplicate corpus rows under the exactly-once gate"
+            )
+        corpus_applied = applied_ranges(self.corpus)
+        index_applied = applied_ranges(self.index)
+        # -- replay / heal gate: the applied-interval sets decide
+        if _covered(lo, hi, corpus_applied):
+            if _covered(lo, hi, index_applied):
+                return {"replayed": True, "pairs": None, "keepers": None}
+            # heal the FULL corpus-vs-index difference (not just this
+            # batch's literal range): committed intervals are gap-absorbed,
+            # so the pending span may start below the batch's min id
+            self._heal_index(subtract_ranges(corpus_applied, index_applied))
+            return {
+                "replayed": True, "healed": "index", "pairs": None, "keepers": None
+            }
+        seen_max = corpus_applied[-1][1] if corpus_applied else -1
         if lo <= seen_max:
             raise ValueError(
                 f"batch {batch_id}: doc ids must be monotone across batches "
                 f"(batch min {lo} <= seen max {seen_max})"
             )
+        # Heal any pending interval (a prior run crashed between its corpus
+        # and index commits) BEFORE probing: an index missing committed band
+        # rows would silently miss near-dups against those docs — an
+        # acceptance that can never be retracted (review-caught, round 4).
+        pending = subtract_ranges(corpus_applied, index_applied)
+        if pending:
+            self._heal_index(pending)
+            index_applied = applied_ranges(self.index)
+        # The committed interval extends DOWN to the watermark: the monotone
+        # gate guarantees ids in (seen_max, lo) can never legitimately
+        # arrive later, so absorbing the gap keeps the applied set at
+        # exactly ONE interval forever — O(1) manifest state, not
+        # O(batch history). (A batch of never-committed gap ids is thereby
+        # indistinguishable from a redelivery and no-ops; under the
+        # monotone allocator contract such a batch is already a violation.)
+        rng = (seen_max + 1 if corpus_applied else lo, hi)
 
-        # -- sign ONLY the new batch
-        sh_new = dd.shingles(new_docs).localCheckpoint()
-        sig_new = dd.minhash_signatures(new_docs, shingles_df=sh_new)
-        bands_new = self._band_rows(sig_new).localCheckpoint()
+        # -- sign ONLY the new batch. Reused intermediates are persist()ed
+        # (lazy, materialized inside their first consumer job, reused after)
+        # rather than localCheckpoint()ed (eager: one extra job each) — the
+        # round-4 ingest spent ~7 jobs on eager checkpoints of DataFrames
+        # that only needed recompute protection, not lineage truncation.
+        cached: list[DataFrame] = []
 
-        # -- candidates: new x index (bucket-pruned) + new x new (batch LSH).
-        # COLD-START FAST PATH: an empty index (first/base ingest) has no
-        # probe targets, no candidate seen docs, and no keeper map — skip
-        # those five jobs instead of running them against empty DataFrames
-        # (measured ~1.5-2 s of per-ingest overhead at sf0.1).
-        cand_new = dd.lsh_candidate_pairs(sig_new, bands=self.bands)
-        index_has_rows = any(self.index.manifest["buckets"].values())
-        if index_has_rows:
-            cand_idx, probe_buckets = self._probe_index(bands_new)
-            # checkpoint: feeds both the candidate union and the seen-id
-            # fetch — without it the probe join runs twice
-            cand_idx = cand_idx.localCheckpoint()
-            candidates = (
-                cand_idx.select("doc_a", "doc_b")
-                .union(cand_new.select("doc_a", "doc_b"))
-                .distinct()
-                .localCheckpoint()
+        def keep(df: DataFrame) -> DataFrame:
+            cached.append(df.persist())
+            return df
+
+        try:
+            sh_new = keep(dd.shingles(new_docs))
+            sig_new = dd.minhash_signatures(new_docs, shingles_df=sh_new)
+            bands_new = keep(self._band_rows(sig_new))
+
+            # -- candidates: new x index (bucket-pruned) + new x new (batch
+            # LSH, hot-bucket capped). COLD-START FAST PATH: an empty index
+            # has no probe targets, no candidate seen docs, no keeper map.
+            cand_new = dd.lsh_candidate_pairs(
+                sig_new, bands=self.bands, max_bucket=self.max_bucket
             )
-            # candidate-only verification: shingle the candidate SEEN docs
-            # (bucket-pruned text fetch) and the new batch, nothing else
-            seen_ids = cand_idx.select(
-                F.col("seen_doc_id").alias("doc_id")
-            ).distinct()
-            seen_rows = self._candidate_corpus_rows(seen_ids).localCheckpoint()
-            sh_all = sh_new.union(dd.shingles(seen_rows.select("doc_id", "text")))
-            keeper_map = seen_rows.select(
-                F.col("doc_id").alias("_sid"), F.col("keeper_doc_id").alias("_sk")
-            )
-        else:
-            probe_buckets = []
-            candidates = cand_new.select("doc_a", "doc_b").distinct().localCheckpoint()
-            sh_all = sh_new
-            keeper_map = None
-        verified = dd.jaccard_verify(
-            new_docs, candidates, shingles_df=sh_all
-        ).localCheckpoint()
-
-        # -- keepers: connected components over duplicate edges, with every
-        # SEEN endpoint replaced by its frozen keeper (seen labels never
-        # change retroactively — the greedy contract). Component minima are
-        # the batch keepers; monotone ids make them equal the batch-global
-        # connected-component minima.
-        edges = verified.filter(F.col("jaccard") >= self.threshold)
-        if keeper_map is not None:
-            edges = (
-                edges
-                .join(keeper_map, F.col("doc_a") == F.col("_sid"), "left")
-                .select(
-                    F.coalesce("_sk", "doc_a").alias("doc_a"), "doc_b"
+            index_has_rows = any(self.index.manifest["buckets"].values())
+            if index_has_rows:
+                cand_idx, probe_buckets = self._probe_index(bands_new)
+                cand_idx = keep(cand_idx)
+                candidates = keep(
+                    cand_idx.select("doc_a", "doc_b")
+                    .union(cand_new.select("doc_a", "doc_b"))
+                    .distinct()
                 )
-                .join(keeper_map, F.col("doc_b") == F.col("_sid"), "left")
-                .select("doc_a", F.coalesce("_sk", "doc_b").alias("doc_b"))
-            )
-        keepers = dd.dedup_clusters(new_docs, edges).localCheckpoint()
-        n_new = new_docs.count()
-        n_accepted = keepers.filter(
-            F.col("keeper_doc_id") == F.col("doc_id")
-        ).count()
+                # candidate-only verification: shingle the candidate SEEN
+                # docs (bucket-pruned text fetch) and the new batch only
+                seen_ids = cand_idx.select(
+                    F.col("seen_doc_id").alias("doc_id")
+                ).distinct()
+                seen_rows = keep(self._candidate_corpus_rows(seen_ids))
+                sh_all = keep(
+                    sh_new.union(dd.shingles(seen_rows.select("doc_id", "text")))
+                )
+                keeper_map = seen_rows.select(
+                    F.col("doc_id").alias("_sid"),
+                    F.col("keeper_doc_id").alias("_sk"),
+                )
+            else:
+                probe_buckets = []
+                candidates = keep(cand_new.select("doc_a", "doc_b").distinct())
+                sh_all = sh_new
+                keeper_map = None
+            # localCheckpoint (not persist): `pairs` is returned to the
+            # caller and must survive the deduper's tables being deleted
+            verified = dd.jaccard_verify(
+                new_docs, candidates, shingles_df=sh_all
+            ).localCheckpoint()
 
-        # -- commit 1: corpus rows (docs + keepers) with the batch gate and
-        # id-range riding the same manifest
-        corpus_rows = _with_system(
-            new_docs.select("doc_id", "text").join(keepers, "doc_id"),
-            self.corpus.bucket_expr("doc_id"),
-        )
-        self.corpus.append_buckets(
-            corpus_rows,
-            properties={
-                "dedup.batches": json.dumps(self._batches(self.corpus) + [batch_id]),
-                "dedup.max_doc_id": str(hi),
-                f"dedup.batch.{batch_id}": json.dumps([lo, hi]),
-            },
-            lineage={"dedup_ingest": batch_id, "n_docs": n_new},
-        )
-        # -- commit 2: index band rows (ALL new docs — rejected ones carry
-        # transitivity). A crash here is healed by the replay gate above.
-        self._append_index(bands_new, batch_id, n_new)
+            # -- keepers: connected components over duplicate edges, with
+            # every SEEN endpoint replaced by its frozen keeper (greedy
+            # contract — module docstring); bridges detected per policy.
+            edges = verified.filter(F.col("jaccard") >= self.threshold)
+            if keeper_map is not None:
+                edges = (
+                    edges
+                    .join(keeper_map, F.col("doc_a") == F.col("_sid"), "left")
+                    .select(F.coalesce("_sk", "doc_a").alias("doc_a"), "doc_b")
+                    .join(keeper_map, F.col("doc_b") == F.col("_sid"), "left")
+                    .select("doc_a", F.coalesce("_sk", "doc_b").alias("doc_b"))
+                )
+            n_edges = verified.count()  # checkpointed — no recompute
+            keepers, n_rejected, bridges = self._resolve_keepers(
+                new_docs, edges, n_edges, seen_max
+            )
+            if bridges and self.on_bridge == "error":
+                raise ValueError(
+                    f"batch {batch_id} bridges previously-committed duplicate "
+                    f"clusters {bridges[:5]}: a from-scratch batch run would "
+                    "relabel committed keepers, which incremental ingest "
+                    "cannot honor retroactively. Re-create the deduper with "
+                    "on_bridge='greedy' to accept frozen-label semantics."
+                )
+
+            # -- commit 1: corpus rows (docs + keepers) with the applied
+            # interval riding the same manifest
+            corpus_rows = _with_system(
+                new_docs.select("doc_id", "text").join(keepers, "doc_id"),
+                self.corpus.bucket_expr("doc_id"),
+            )
+            self.corpus.append_buckets(
+                corpus_rows,
+                properties={
+                    APPLIED_PROP: json.dumps(
+                        merge_ranges(corpus_applied + [rng])
+                    ),
+                },
+                lineage={"dedup_ingest": batch_id, "n_docs": n_new},
+            )
+            # -- commit 2: index band rows (ALL new docs — rejected ones
+            # carry transitivity). A crash here is healed by the gate above.
+            self._append_index(bands_new, rng, batch_id, n_new)
+        finally:
+            for df in cached:
+                df.unpersist()
         return {
             "replayed": False,
             "pairs": verified,
             "keepers": keepers,
             "n_new": n_new,
-            "n_accepted": n_accepted,
-            "n_rejected": n_new - n_accepted,
+            "n_accepted": n_new - n_rejected,
+            "n_rejected": n_rejected,
+            "bridges": bridges,
             "probe_buckets": probe_buckets,
             "corpus_version": self.corpus.version,
             "index_version": self.index.version,
         }
 
-    def _append_index(self, bands_new: DataFrame, batch_id: str, n_docs: int) -> None:
+    def _append_index(
+        self,
+        bands_new: DataFrame,
+        rng: tuple[int, int],
+        batch_id: str,
+        n_docs: int,
+    ) -> None:
         rows = _with_system(
             bands_new.select("bucket_key", "doc_id"),
             self.index.bucket_expr("bucket_key"),
@@ -350,25 +608,42 @@ class IncrementalDeduper:
         self.index.append_buckets(
             rows,
             properties={
-                "dedup.batches": json.dumps(self._batches(self.index) + [batch_id])
+                APPLIED_PROP: json.dumps(
+                    merge_ranges(applied_ranges(self.index) + [tuple(rng)])
+                )
             },
             lineage={"dedup_ingest": batch_id, "n_docs": n_docs},
         )
 
-    def _heal_index(self, batch_id: str) -> dict:
-        """Crash-retry path: the corpus committed batch_id but the index
-        didn't. Re-sign the batch's rows (recorded id range) and complete
-        the index append. Full-corpus scan filtered by the id range — the
-        rare recovery path pays one scan; the hot path never does."""
-        lo, hi = json.loads(self.corpus.properties[f"dedup.batch.{batch_id}"])
-        batch_docs = self.corpus.read().filter(
-            F.col("doc_id").between(int(lo), int(hi))
-        ).select("doc_id", "text")
-        sig = dd.minhash_signatures(batch_docs)
-        self._append_index(
-            self._band_rows(sig).localCheckpoint(), batch_id, batch_docs.count()
+    def _heal_index(self, ranges: list[tuple[int, int]]) -> None:
+        """Crash-retry path: the corpus committed id ranges the index lacks.
+        Re-sign exactly those ranges' rows and complete the index append.
+        Full-corpus scan filtered by the ranges — the rare recovery path
+        pays one scan; the hot path never does."""
+        batch_docs = (
+            self.corpus.read()
+            .filter(_ranges_filter("doc_id", ranges))
+            .select("doc_id", "text")
         )
-        return {"replayed": True, "healed": "index", "pairs": None, "keepers": None}
+        sig = dd.minhash_signatures(batch_docs)
+        bands = self._band_rows(sig).persist()
+        try:
+            n = bands.select("doc_id").distinct().count()
+            rows = _with_system(
+                bands.select("bucket_key", "doc_id"),
+                self.index.bucket_expr("bucket_key"),
+            )
+            self.index.append_buckets(
+                rows,
+                properties={
+                    APPLIED_PROP: json.dumps(
+                        merge_ranges(applied_ranges(self.index) + list(ranges))
+                    )
+                },
+                lineage={"dedup_heal": json.dumps(list(ranges)), "n_docs": n},
+            )
+        finally:
+            bands.unpersist()
 
     # ---------------------------------------------------------------- reads
 
@@ -403,7 +678,12 @@ class IncrementalEmbeddingIndex:
 
     - ``index``: (bucket_key = "table|bucket", vec_id) rows, LakeTable keyed
       by bucket_key → a probe opens only the lake buckets the NEW batch's
-      bucket rows hash into (new x index, never index x index);
+      bucket rows hash into (new x index, never index x index); over-cap
+      buckets contribute only their exemplar (``emb.max_bucket`` — the same
+      hot-bucket guard and recall contract as the text deduper's module
+      docstring: at permissive thresholds SRP buckets are inherently coarse,
+      so the cap trades exhaustive pair enumeration inside a mega-bucket
+      for linear candidate volume);
     - ``vectors``: (vec_id, embedding) keyed by vec_id → candidate vectors
       for the exact integer-quantized cosine verify are fetched with a
       bucket-pruned read, never a corpus scan.
@@ -413,8 +693,9 @@ class IncrementalEmbeddingIndex:
     bit-identical to ingest-time banding. Pairs returned by ``ingest`` are
     exactly what the batch operator (similarity.neardup_pairs_lsh) returns
     over the union, restricted to pairs touching the batch (oracle-pinned
-    via the all-pairs ground truth). Same batch gates / heal protocol as the
-    text deduper (module docstring)."""
+    via the all-pairs ground truth). Same applied-interval gates / heal
+    protocol as the text deduper (module docstring); ids must be unique
+    within a batch and monotone across batches."""
 
     def __init__(self, spark: SparkSession, root: str):
         from migration_pair_spark.operators import similarity as sim
@@ -428,6 +709,7 @@ class IncrementalEmbeddingIndex:
         self.n_planes = int(p["emb.n_planes"])
         self.n_tables = int(p["emb.n_tables"])
         self.dim = int(p["emb.dim"])
+        self.max_bucket = int(p.get("emb.max_bucket", "0")) or None
         self._weights = sim.srp_weights(self.n_tables, self.n_planes, self.dim)
 
     @classmethod
@@ -441,6 +723,7 @@ class IncrementalEmbeddingIndex:
         dim: "int | None" = None,
         vector_buckets: int = 16,
         index_buckets: int = 16,
+        max_bucket: int | None = DEFAULT_MAX_BUCKET,
     ) -> "IncrementalEmbeddingIndex":
         from migration_pair_spark.operators import similarity as sim
 
@@ -459,8 +742,8 @@ class IncrementalEmbeddingIndex:
                 "emb.n_planes": str(n_planes),
                 "emb.n_tables": str(n_tables),
                 "emb.dim": str(dim if dim is not None else sim.EMB_DIM),
-                "dedup.batches": "[]",
-                "dedup.max_doc_id": "-1",
+                "emb.max_bucket": str(max_bucket or 0),
+                APPLIED_PROP: "[]",
             },
         )
         LakeTable.create(
@@ -469,7 +752,7 @@ class IncrementalEmbeddingIndex:
             _INDEX_SCHEMA,
             key_col="bucket_key",
             n_buckets=index_buckets,
-            properties={"dedup.batches": "[]"},
+            properties={APPLIED_PROP: "[]"},
         )
         return cls(spark, root)
 
@@ -498,7 +781,8 @@ class IncrementalEmbeddingIndex:
 
     def _candidates(self, new_emb: DataFrame, bucket_rows: DataFrame):
         """(vec_a, vec_b, seen ids) candidate pairs: bucket-pruned index
-        probe (new x seen) + SRP self-join within the batch (new x new)."""
+        probe (new x seen, hot-bucket capped) + SRP self-join within the
+        batch (new x new, same cap)."""
         from migration_pair_spark.operators import similarity as sim
 
         lake_buckets = self.probe_lake_buckets(bucket_rows)
@@ -507,6 +791,7 @@ class IncrementalEmbeddingIndex:
             .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
             .select("bucket_key", F.col("doc_id").alias("seen_id"))
         )
+        idx = _cap_hot_buckets(idx, "bucket_key", "seen_id", self.max_bucket)
         vs_seen = (
             bucket_rows.select("bucket_key", F.col("doc_id").alias("new_id"))
             .join(idx, "bucket_key")
@@ -519,9 +804,13 @@ class IncrementalEmbeddingIndex:
             .distinct()
         )
         vs_new = sim.neardup_candidates_lsh(
-            new_emb, n_planes=self.n_planes, n_tables=self.n_tables, dim=self.dim
+            new_emb,
+            n_planes=self.n_planes,
+            n_tables=self.n_tables,
+            dim=self.dim,
+            max_bucket=self.max_bucket,
         ).select("vec_a", "vec_b")
-        return vs_seen.localCheckpoint(), vs_new, lake_buckets
+        return vs_seen, vs_new, lake_buckets
 
     def _candidate_vectors(self, seen_ids: DataFrame) -> DataFrame:
         bucket_rows = (
@@ -542,84 +831,112 @@ class IncrementalEmbeddingIndex:
     def ingest(self, new_emb: DataFrame, batch_id: str) -> dict:
         """Process one batch of (vec_id, embedding) rows: near-dup pairs vs
         the index and within the batch (exact verified cosine >= threshold),
-        then append vectors + bucket rows. Idempotent per batch_id; heals a
+        then append vectors + bucket rows. Idempotent per id range; heals a
         crashed prior batch like the text deduper."""
         from migration_pair_spark.operators import similarity as sim
 
-        vec_done = batch_id in IncrementalDeduper._batches(self.vectors)
-        idx_done = batch_id in IncrementalDeduper._batches(self.index)
-        if vec_done and idx_done:
-            return {"replayed": True, "pairs": None}
-        if vec_done and not idx_done:
-            return self._heal_index(batch_id)
-        for b in IncrementalDeduper._batches(self.vectors):
-            if b not in IncrementalDeduper._batches(self.index):
-                self._heal_index(b)
-
-        lohi = new_emb.agg(
-            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        stats = new_emb.agg(
+            F.min("vec_id").alias("lo"),
+            F.max("vec_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("vec_id").alias("nd"),
         ).collect()[0]
-        if lohi["lo"] is None:
+        if stats["lo"] is None:
             return {"replayed": False, "empty": True, "pairs": None, "n_new": 0}
-        lo, hi = int(lohi["lo"]), int(lohi["hi"])
-        seen_max = int(self.vectors.properties.get("dedup.max_doc_id", "-1"))
+        lo, hi, n_new = int(stats["lo"]), int(stats["hi"]), int(stats["n"])
+        if int(stats["nd"]) != n_new:
+            raise ValueError(
+                f"batch {batch_id}: vec ids must be unique within a batch "
+                f"({n_new - int(stats['nd'])} duplicated)"
+            )
+        vec_applied = applied_ranges(self.vectors)
+        idx_applied = applied_ranges(self.index)
+        if _covered(lo, hi, vec_applied):
+            if _covered(lo, hi, idx_applied):
+                return {"replayed": True, "pairs": None}
+            # full pending span, not the batch's literal range (gap-absorbed
+            # intervals — see the text deduper)
+            self._heal_index(subtract_ranges(vec_applied, idx_applied))
+            return {"replayed": True, "healed": "index", "pairs": None}
+        seen_max = vec_applied[-1][1] if vec_applied else -1
         if lo <= seen_max:
             raise ValueError(
                 f"batch {batch_id}: vec ids must be monotone across batches "
                 f"(batch min {lo} <= seen max {seen_max})"
             )
+        pending = subtract_ranges(vec_applied, idx_applied)
+        if pending:
+            self._heal_index(pending)
+            idx_applied = applied_ranges(self.index)
+        # gap-absorbing interval — see IncrementalDeduper.ingest
+        rng = (seen_max + 1 if vec_applied else lo, hi)
 
-        bucket_rows = self._bucket_rows(new_emb).localCheckpoint()
-        # cold-start fast path mirrors the text deduper: an empty index has
-        # nothing to probe and no candidate vectors to fetch
-        if any(self.index.manifest["buckets"].values()):
-            vs_seen, vs_new, probe_buckets = self._candidates(new_emb, bucket_rows)
-            candidates = (
-                vs_seen.select("vec_a", "vec_b").union(vs_new).distinct()
-            )
-            seen_vecs = self._candidate_vectors(
-                vs_seen.select(F.col("seen_id").alias("vec_id")).distinct()
-            )
-            all_vecs = new_emb.select("vec_id", "embedding").union(seen_vecs)
-        else:
-            probe_buckets = []
-            candidates = sim.neardup_candidates_lsh(
-                new_emb, n_planes=self.n_planes, n_tables=self.n_tables,
-                dim=self.dim,
-            ).select("vec_a", "vec_b")
-            all_vecs = new_emb.select("vec_id", "embedding")
-        qa = sim._quantized_side(all_vecs, "vec_a", "vec_id", "embedding")
-        qb = sim._quantized_side(all_vecs, "vec_b", "vec_id", "embedding")
-        cos = sim._exact_cosine(
-            sim._int_dot(F.col("_q_vec_a"), F.col("_q_vec_b")),
-            F.col("_n2_vec_a"),
-            F.col("_n2_vec_b"),
-        )
-        pairs = (
-            candidates.join(qa, "vec_a")
-            .join(qb, "vec_b")
-            .withColumn("_sim", cos)
-            .filter(F.col("_sim") >= F.lit(self.threshold))
-            .select("vec_a", "vec_b", F.round(F.col("_sim"), 4).alias("cosine"))
-            .localCheckpoint()
-        )
-        n_new = new_emb.count()
+        cached: list[DataFrame] = []
 
-        self.vectors.append_buckets(
-            _with_system(
-                new_emb.select("vec_id", "embedding"),
-                self.vectors.bucket_expr("vec_id"),
-            ),
-            properties={
-                "dedup.batches": json.dumps(
-                    IncrementalDeduper._batches(self.vectors) + [batch_id]
+        def keep(df: DataFrame) -> DataFrame:
+            cached.append(df.persist())
+            return df
+
+        try:
+            bucket_rows = keep(self._bucket_rows(new_emb))
+            # cold-start fast path mirrors the text deduper: an empty index
+            # has nothing to probe and no candidate vectors to fetch
+            if any(self.index.manifest["buckets"].values()):
+                vs_seen, vs_new, probe_buckets = self._candidates(
+                    new_emb, bucket_rows
+                )
+                vs_seen = keep(vs_seen)
+                candidates = (
+                    vs_seen.select("vec_a", "vec_b").union(vs_new).distinct()
+                )
+                seen_vecs = self._candidate_vectors(
+                    vs_seen.select(F.col("seen_id").alias("vec_id")).distinct()
+                )
+                all_vecs = keep(
+                    new_emb.select("vec_id", "embedding").union(seen_vecs)
+                )
+            else:
+                probe_buckets = []
+                candidates = sim.neardup_candidates_lsh(
+                    new_emb,
+                    n_planes=self.n_planes,
+                    n_tables=self.n_tables,
+                    dim=self.dim,
+                    max_bucket=self.max_bucket,
+                ).select("vec_a", "vec_b")
+                all_vecs = keep(new_emb.select("vec_id", "embedding"))
+            qa = sim._quantized_side(all_vecs, "vec_a", "vec_id", "embedding")
+            qb = sim._quantized_side(all_vecs, "vec_b", "vec_id", "embedding")
+            cos = sim._exact_cosine(
+                sim._int_dot(F.col("_q_vec_a"), F.col("_q_vec_b")),
+                F.col("_n2_vec_a"),
+                F.col("_n2_vec_b"),
+            )
+            pairs = (
+                candidates.join(qa, "vec_a")
+                .join(qb, "vec_b")
+                .withColumn("_sim", cos)
+                .filter(F.col("_sim") >= F.lit(self.threshold))
+                .select("vec_a", "vec_b", F.round(F.col("_sim"), 4).alias("cosine"))
+                .localCheckpoint()
+            )
+
+            self.vectors.append_buckets(
+                _with_system(
+                    new_emb.select("vec_id", "embedding"),
+                    self.vectors.bucket_expr("vec_id"),
                 ),
-                "dedup.max_doc_id": str(hi),
-                f"dedup.batch.{batch_id}": json.dumps([lo, hi]),
-            },
-            lineage={"emb_ingest": batch_id, "n_vecs": n_new},
-        )
-        self._append_index(bucket_rows, batch_id, n_new)
+                properties={
+                    APPLIED_PROP: json.dumps(
+                        merge_ranges(vec_applied + [rng])
+                    ),
+                },
+                lineage={"emb_ingest": batch_id, "n_vecs": n_new},
+            )
+            self._append_index(bucket_rows, rng, batch_id, n_new)
+        finally:
+            for df in cached:
+                df.unpersist()
         return {
             "replayed": False,
             "pairs": pairs,
@@ -629,26 +946,46 @@ class IncrementalEmbeddingIndex:
             "index_version": self.index.version,
         }
 
-    def _append_index(self, bucket_rows: DataFrame, batch_id: str, n: int) -> None:
+    def _append_index(
+        self,
+        bucket_rows: DataFrame,
+        rng: tuple[int, int],
+        batch_id: str,
+        n: int,
+    ) -> None:
         self.index.append_buckets(
             _with_system(
                 bucket_rows.select("bucket_key", "doc_id"),
                 self.index.bucket_expr("bucket_key"),
             ),
             properties={
-                "dedup.batches": json.dumps(
-                    IncrementalDeduper._batches(self.index) + [batch_id]
+                APPLIED_PROP: json.dumps(
+                    merge_ranges(applied_ranges(self.index) + [tuple(rng)])
                 )
             },
             lineage={"emb_ingest": batch_id, "n_vecs": n},
         )
 
-    def _heal_index(self, batch_id: str) -> dict:
-        lo, hi = json.loads(self.vectors.properties[f"dedup.batch.{batch_id}"])
-        batch = self.vectors.read().filter(
-            F.col("vec_id").between(int(lo), int(hi))
-        ).select("vec_id", "embedding")
-        self._append_index(
-            self._bucket_rows(batch).localCheckpoint(), batch_id, batch.count()
+    def _heal_index(self, ranges: list[tuple[int, int]]) -> None:
+        batch = (
+            self.vectors.read()
+            .filter(_ranges_filter("vec_id", ranges))
+            .select("vec_id", "embedding")
         )
-        return {"replayed": True, "healed": "index", "pairs": None}
+        rows = self._bucket_rows(batch).persist()
+        try:
+            n = rows.select("doc_id").distinct().count()
+            self.index.append_buckets(
+                _with_system(
+                    rows.select("bucket_key", "doc_id"),
+                    self.index.bucket_expr("bucket_key"),
+                ),
+                properties={
+                    APPLIED_PROP: json.dumps(
+                        merge_ranges(applied_ranges(self.index) + list(ranges))
+                    )
+                },
+                lineage={"emb_heal": json.dumps(list(ranges)), "n_vecs": n},
+            )
+        finally:
+            rows.unpersist()

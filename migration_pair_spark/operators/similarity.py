@@ -307,14 +307,37 @@ def neardup_candidates_lsh(
     n_planes: int = 2,
     n_tables: int = 24,
     dim: int = EMB_DIM,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SRP bucket self-join candidate pairs (vec_a < vec_b), ids only through
     the distinct. Exposed separately from :func:`neardup_pairs_lsh` so tests
-    can pin candidate VOLUME (selectivity), not just plan shape."""
+    can pin candidate VOLUME (selectivity), not just plan shape.
+
+    ``max_bucket`` is the hot-bucket guard (same exemplar-star policy and
+    recall contract as dedup.lsh_candidate_pairs): SRP buckets above the cap
+    contribute only their minimum-id exemplar on the left join side, so an
+    embedding mega-cluster emits O(m) star candidates instead of O(m^2).
+    Default ``None`` = exact enumeration (required by the all-pairs
+    oracles; at permissive thresholds SRP buckets are inherently coarse,
+    so production ingest sets the cap via IncrementalEmbeddingIndex)."""
     w = srp_weights(n_tables, n_planes, dim)
     b = _srp_bucket_rows(emb, "vec_id_x", id_col, vec_col, w)
+    left = b
+    if max_bucket:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("_t", "_bucket")
+        left = (
+            b.withColumn("_bn", F.count(F.lit(1)).over(win))
+            .withColumn("_bmin", F.min("vec_id_x").over(win))
+            .filter(
+                (F.col("_bn") <= F.lit(int(max_bucket)))
+                | (F.col("vec_id_x") == F.col("_bmin"))
+            )
+            .drop("_bn", "_bmin")
+        )
     return (
-        b.alias("a")
+        left.alias("a")
         .join(
             b.alias("b"),
             (F.col("a._t") == F.col("b._t"))

@@ -108,6 +108,39 @@ def test_duplicate_delivery_converges(spark, tmp_path, docs_dir):
     assert (ded.corpus.version, ded.index.version) == (cv, iv)
 
 
+def test_long_run_gate_state_stays_bounded(spark, tmp_path):
+    """A months-long dedup-stream run must NOT grow manifest state with
+    batch count (round 4 stored a JSON batch list plus one property per
+    batch, forever). The applied-interval gate is structurally O(1) for
+    monotone delivery — each commit extends ONE interval — so after many
+    micro-batches the property set is identical in shape and the interval
+    list has length 1. 60 direct ingests stand in for the >=200-batch
+    stream: every batch exercises the same commit path, and the invariant
+    asserted (one interval, fixed key set) is independent of batch count."""
+    from migration_pair_spark.operators.incremental import applied_ranges
+
+    ded = IncrementalDeduper.create(
+        spark, str(tmp_path / "long"), threshold=THR, bands=BANDS
+    )
+    keys_after_warmup = None
+    for b in range(60):
+        rows = [
+            (b * 10, f"micro batch {b} first document body"),
+            (b * 10 + 1, f"micro batch {b} second document body"),
+        ]
+        ded.ingest(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            f"stream-{b}",
+        )
+        assert len(applied_ranges(ded.corpus)) == 1
+        assert len(applied_ranges(ded.index)) == 1
+        if b == 2:
+            keys_after_warmup = set(ded.corpus.properties)
+    assert set(ded.corpus.properties) == keys_after_warmup
+    assert applied_ranges(ded.corpus) == [(0, 591)]
+    assert applied_ranges(ded.index) == [(0, 591)]
+
+
 def test_dedup_stream_cli(spark, tmp_path, docs_dir, capsys):
     import json
 

@@ -208,13 +208,13 @@ def test_crash_between_commits_heals_on_retry(spark, tmp_path):
     with pytest.raises(RuntimeError, match="injected crash"):
         crashed.ingest(_df(spark, BATCH1), "b1")
     crashed._append_index = orig
-    # corpus committed the batch, the index did not
-    assert "b1" in crashed._batches(crashed.corpus)
-    assert "b1" not in crashed._batches(crashed.index)
+    # corpus committed the batch's id range, the index did not — the
+    # difference of the two applied-interval sets IS the pending work
+    assert crashed.pending_ranges() == [(3, 12)]  # gap-absorbed interval
 
     res = crashed.ingest(_df(spark, BATCH1), "b1")
     assert res["replayed"] is True and res["healed"] == "index"
-    assert "b1" in crashed._batches(crashed.index)
+    assert crashed.pending_ranges() == []
 
     clean = IncrementalDeduper.create(
         spark, str(tmp_path / "clean"), threshold=THR, bands=BANDS
@@ -237,8 +237,114 @@ def test_crash_between_commits_heals_on_retry(spark, tmp_path):
 
 
 def test_monotone_id_gate(spark, deduper):
+    """A batch whose id range is FULLY covered by the applied intervals is a
+    replay (idempotent redelivery — same contract as the CDC LSN gate); a
+    batch that STRADDLES the applied boundary is a delivery-order violation
+    and fails loudly."""
+    res = deduper.ingest(_df(spark, [(1, "re-delivered id")]), "redeliver")
+    assert res["replayed"] is True
     with pytest.raises(ValueError, match="monotone"):
-        deduper.ingest(_df(spark, [(1, "re-used id")]), "bad")
+        deduper.ingest(
+            _df(spark, [(1, "old id"), (30, "new id")]), "bad"
+        )
+
+
+def test_duplicate_ids_within_batch_rejected(spark, deduper):
+    """A duplicate doc_id would multiply rows through the keeper join and
+    permanently commit duplicate corpus rows under the exactly-once gate —
+    gated before any work (review-caught, round 4)."""
+    cv = deduper.corpus.version
+    with pytest.raises(ValueError, match="unique"):
+        deduper.ingest(
+            _df(spark, [(30, "same id"), (30, "same id again")]), "dup"
+        )
+    assert deduper.corpus.version == cv
+
+
+def test_applied_intervals_stay_compact(spark, deduper):
+    """Gate state is an applied doc-id INTERVAL set, not per-batch keys:
+    monotone ingest keeps it at exactly one interval, so manifest property
+    size is O(1) in batch count (the round-4 design stored a growing JSON
+    list plus one property per batch, forever)."""
+    from migration_pair_spark.operators.incremental import applied_ranges
+
+    deduper.ingest(_df(spark, BATCH1), "b1")
+    deduper.ingest(_df(spark, BATCH2), "b2")
+    assert applied_ranges(deduper.corpus) == [(0, 21)]
+    assert applied_ranges(deduper.index) == [(0, 21)]
+    # no per-batch keys anywhere in the manifest
+    assert not any(
+        k.startswith("dedup.batch") for k in deduper.corpus.properties
+    )
+
+
+def test_bridge_batch_fails_loudly_by_default(spark, tmp_path):
+    """A new doc near-dup of TWO previously-committed clusters would make a
+    from-scratch batch run relabel one committed cluster onto the other —
+    retroactive relabeling no incremental system can honor. Default policy:
+    fail the batch BEFORE any commit, like the monotone gate
+    (review-caught, round 4)."""
+    d = IncrementalDeduper.create(
+        spark, str(tmp_path / "br"), threshold=THR, bands=BANDS
+    )
+    d.ingest(_df(spark, [(0, _A), (1, _C)]), "base")  # two distinct clusters
+    cv, iv = d.corpus.version, d.index.version
+    with pytest.raises(ValueError, match="bridges"):
+        d.ingest(_df(spark, [(10, _A + " " + _C)]), "b1")
+    # nothing committed: both tables untouched, gate state unchanged
+    assert d.corpus.version == cv and d.index.version == iv
+    assert d.seen_max() == 1
+
+
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_bridge_greedy_policy_freezes_old_labels(
+    spark, tmp_path, force_distributed
+):
+    """on_bridge='greedy': the batch's docs join the OLDEST bridged cluster,
+    committed labels stay frozen, and the bridge is reported — the
+    documented divergence from a from-scratch batch run (which would merge
+    cluster 1 into cluster 0). Both component-resolution paths (driver
+    union-find and distributed label propagation) must agree."""
+    d = IncrementalDeduper.create(
+        spark,
+        str(tmp_path / f"brg{int(force_distributed)}"),
+        threshold=THR,
+        bands=BANDS,
+        on_bridge="greedy",
+    )
+    if force_distributed:
+        d.driver_cc_max_edges = -1
+    d.ingest(_df(spark, [(0, _A), (1, _C)]), "base")
+    r = d.ingest(_df(spark, [(10, _A + " " + _C)]), "b1")
+    assert r["bridges"] == [(0, 1)]
+    k = _keepers_map(d.keepers())
+    assert k[10] == 0  # new doc joins the oldest bridged cluster
+    assert k[0] == 0 and k[1] == 1  # committed labels frozen
+
+
+def test_distributed_cc_fallback_matches_driver_fast_path(spark, tmp_path):
+    """The driver union-find below driver_cc_max_edges is pure execution
+    tuning: forcing the distributed label-propagation path must yield
+    byte-identical pairs and keepers on the chain fixture."""
+    fast = IncrementalDeduper.create(
+        spark, str(tmp_path / "fast"), threshold=THR, bands=BANDS
+    )
+    fast.ingest(_df(spark, BASE), "base")
+    rf = fast.ingest(_df(spark, BATCH1 + BATCH2), "b12")
+
+    dist = IncrementalDeduper.create(
+        spark, str(tmp_path / "dist"), threshold=THR, bands=BANDS
+    )
+    dist.driver_cc_max_edges = -1
+    dist.ingest(_df(spark, BASE), "base")
+    rd = dist.ingest(_df(spark, BATCH1 + BATCH2), "b12")
+
+    assert _pairs_set(rf["pairs"]) == _pairs_set(rd["pairs"])
+    assert _keepers_map(fast.keepers()) == _keepers_map(dist.keepers())
+    assert (rf["n_accepted"], rf["n_rejected"]) == (
+        rd["n_accepted"],
+        rd["n_rejected"],
+    )
 
 
 def test_empty_batch_is_clean_noop(spark, deduper):
@@ -267,9 +373,9 @@ def test_new_batch_heals_older_pending_batch_first(spark, tmp_path):
     with pytest.raises(RuntimeError):
         d.ingest(_df(spark, BATCH1), "b1")
     d._append_index = orig
-    assert "b1" not in d._batches(d.index)  # pending
+    assert d.pending_ranges() == [(3, 12)]  # b1 pending (gap-absorbed)
 
     # ingest b2 directly: must auto-heal b1 first, then find the b2~b1 chain
     r2 = d.ingest(_df(spark, BATCH2), "b2")
-    assert "b1" in d._batches(d.index)
+    assert d.pending_ranges() == []
     assert _keepers_map(r2["keepers"])[20] == 0  # c still chains to a via b
