@@ -994,6 +994,106 @@ def multimodal_dims(spark, sf_dir):
 
 
 @q(
+    "audio_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS fmt,
+           CASE WHEN doc_id % 2 = 0 THEN CAST((doc_id // 2) % 2 + 1 AS INT) END AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(16 AS INT) END AS bits_per_sample,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5000 + 100
+                     ELSE doc_id % 7000 + 500 END AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+    "audio/container metadata by PURE HEADER PARSING (no codec library): "
+    "WAV/RIFF fmt+data chunks via a bounded chunk walk (with a planted "
+    "LIST decoy chunk forcing the walk), MP4 moov/mvhd via bounded box "
+    "walks (free+ftyp prefix, planted udta decoy, v0 AND v1 mvhd "
+    "layouts). Payloads are synthesized deterministically from doc_id "
+    "with the metadata PLANTED in the headers, so the oracle recomputes "
+    "the ground truth arithmetically — Spark must actually parse the "
+    "bytes to match (multimodal_dims precedent)",
+)
+def audio_meta(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def i32(x):
+        return x.cast("int")
+
+    def byte(x):
+        return F.lpad(F.hex(i32(x) % 256), 2, "0")
+
+    def le16h(x):
+        return F.concat(byte(x), byte(x / 256))
+
+    def le32h(x):
+        return F.concat(byte(x), byte(x / 256), byte(x / 65536), byte(x / 16777216))
+
+    def be32h(x):
+        return F.lpad(F.hex(i32(x)), 8, "0")
+
+    def be64h(x):
+        return F.lpad(F.hex(x.cast("long")), 16, "0")
+
+    did = F.col("doc_id")
+    # -- WAV (even ids): planted channels/sample-rate/duration
+    ch = (did / 2).cast("int") % 2 + 1
+    sr = 8000 + (did % 8) * 1000
+    block = ch * 2
+    br = sr * block
+    dur_wav = did % 5000 + 100
+    dsz = (br * dur_wav / 1000).cast("long")
+    wav_decoy = F.concat(F.lit("4C495354"), le32h(F.lit(4)), F.lit("494E464F"))
+    wav = F.concat(
+        F.lit("52494646"),
+        le32h(F.lit(100)),
+        F.lit("57415645"),
+        F.when(did % 4 == 0, wav_decoy).otherwise(F.lit("")),
+        F.lit("666D7420"),
+        le32h(F.lit(16)),
+        le16h(F.lit(1)),
+        le16h(ch),
+        le32h(sr),
+        le32h(br),
+        le16h(block),
+        le16h(F.lit(16)),
+        F.lit("64617461"),
+        le32h(dsz),
+    )
+    # -- MP4 (odd ids): planted timescale/duration, v0 and v1 layouts
+    k = did % 4 + 1
+    ts = 1000 * k
+    dur_mp4 = did % 7000 + 500
+    units = dur_mp4 * k
+    is_v1 = did % 3 == 0
+    mvhd = F.when(
+        is_v1,
+        F.concat(
+            be32h(F.lit(40)), F.lit("6D766864"), F.lit("01"), F.lit("000000"),
+            F.lit("00" * 16), be32h(ts), be64h(units),
+        ),
+    ).otherwise(
+        F.concat(
+            be32h(F.lit(28)), F.lit("6D766864"), F.lit("00"), F.lit("000000"),
+            F.lit("00" * 8), be32h(ts), be32h(units),
+        )
+    )
+    mvhd_size = F.when(is_v1, F.lit(40)).otherwise(F.lit(28))
+    mp4_decoy = F.concat(be32h(F.lit(12)), F.lit("75647461"), F.lit("00000000"))
+    has_udta = did % 5 == 0
+    moov_size = 8 + F.when(has_udta, F.lit(12)).otherwise(F.lit(0)) + mvhd_size
+    mp4 = F.concat(
+        be32h(F.lit(16)), F.lit("66726565"), F.lit("00" * 8),
+        be32h(F.lit(16)), F.lit("66747970"), F.lit("69736F6D"), F.lit("00000000"),
+        be32h(moov_size), F.lit("6D6F6F76"),
+        F.when(has_udta, mp4_decoy).otherwise(F.lit("")),
+        mvhd,
+    )
+    payload = F.unhex(F.when(did % 2 == 0, wav).otherwise(mp4))
+    return multimodal.media_meta(d.withColumn("payload", payload))
+
+
+@q(
     "range_join_click_purchase",
     """
     SELECT p.user_id, p.event_id AS l_event_id, p.ts AS l_ts,

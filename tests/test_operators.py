@@ -523,6 +523,118 @@ def test_decode_image_kernel_agrees_with_catalyst_parser(spark):
         multimodal.decode_image(b"RIFF....WEBPVP8 ")
 
 
+def _wav_bytes(ch, sr, bits, dur_ms, decoy=False):
+    import struct
+
+    block = ch * bits // 8
+    br = sr * block
+    dsz = br * dur_ms // 1000
+    fmtc = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, ch, sr, br, block, bits
+    )
+    datac = b"data" + struct.pack("<I", dsz)
+    body = (b"LIST" + struct.pack("<I", 4) + b"INFO" if decoy else b"") + fmtc + datac
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _mp4_bytes(ts, dur_units, v=0, decoy=False):
+    import struct
+
+    if v == 0:
+        body = bytes(4) + bytes(8) + struct.pack(">II", ts, dur_units)
+    else:
+        body = bytes([1, 0, 0, 0]) + bytes(16) + struct.pack(">I", ts) + struct.pack(
+            ">Q", dur_units
+        )
+    mvhd = struct.pack(">I", 8 + len(body)) + b"mvhd" + body
+    inner = (struct.pack(">I", 12) + b"udta" + bytes(4) if decoy else b"") + mvhd
+    moov = struct.pack(">I", 8 + len(inner)) + b"moov" + inner
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
+    free = struct.pack(">I", 16) + b"free" + bytes(8)
+    return free + ftyp + moov
+
+
+def test_media_meta_header_parsing(spark):
+    """Pure-Catalyst audio/container metadata from real header bytes — WAV
+    fmt+data chunks via the RIFF chunk walk (the decoy case plants a LIST
+    chunk before fmt: fixed offsets would read garbage), MP4 mvhd via the
+    moov box walk with both version layouts and a udta decoy box."""
+    rows = [
+        (1, _wav_bytes(2, 16000, 16, 1234)),
+        (2, _wav_bytes(1, 8000, 16, 500, decoy=True)),
+        (3, _mp4_bytes(1000, 2500)),
+        (4, _mp4_bytes(3000, 22500, v=1, decoy=True)),
+        (5, b"RIFF\x00\x00\x00\x00WAVEfm"),  # truncated mid-chunk-id
+        (6, _mp4_bytes(1000, 99)[:40]),  # cut before mvhd fields
+        (7, None),
+        (8, b"not media at all ............"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: (r.fmt, r.channels, r.sample_rate, r.bits_per_sample, r.duration_ms)
+        for r in multimodal.media_meta(df).collect()
+    }
+    assert got[1] == ("wav", 2, 16000, 16, 1234)
+    assert got[2] == ("wav", 1, 8000, 16, 500)
+    assert got[3] == ("mp4", None, None, None, 2500)
+    assert got[4] == ("mp4", None, None, None, 7500)
+    for i in (5, 6, 7, 8):
+        assert got[i] == (None, None, None, None, None)
+    # the pure-Python twin agrees byte-for-byte on every case
+    for i, payload in rows:
+        meta = multimodal.parse_media_meta(payload)
+        if meta is None:
+            assert got[i][0] is None
+        else:
+            assert got[i] == (
+                meta["fmt"],
+                meta["channels"],
+                meta["sample_rate"],
+                meta["bits_per_sample"],
+                meta["duration_ms"],
+            )
+
+
+def test_decode_audio_kernel_through_seam(spark):
+    """decode_audio (pure header parse, no ffmpeg) through mapInPandas must
+    agree with the Catalyst media_meta parser — and still raise for formats
+    that genuinely need a codec."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, _wav_bytes(1, 8000, 16, 750)), (2, _mp4_bytes(2000, 5000))],
+        "doc_id long, payload binary",
+    )
+    via_seam = {
+        r.doc_id: (r.fmt, r.duration_ms)
+        for r in multimodal.extract_binary_metadata(
+            df,
+            decoder=multimodal.decode_audio,
+            extra_schema="fmt string, duration_ms long",
+        ).collect()
+    }
+    via_catalyst = {
+        r.doc_id: (r.fmt, r.duration_ms)
+        for r in multimodal.media_meta(df).collect()
+    }
+    assert via_seam == via_catalyst == {1: ("wav", 750), 2: ("mp4", 2500)}
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"OggS\x00\x02" + bytes(20))
+
+
+def test_parse_media_meta_truncated_headers_return_none():
+    """Corrupt/truncated media blobs must yield None, never raise (the
+    kernel runs inside mapInPandas with no per-row handler)."""
+    full = _wav_bytes(2, 16000, 16, 100)
+    for cut in range(len(full)):
+        multimodal.parse_media_meta(full[:cut])  # must not raise
+    full = _mp4_bytes(1000, 500, v=1, decoy=True)
+    for cut in range(len(full)):
+        multimodal.parse_media_meta(full[:cut])  # must not raise
+    assert multimodal.parse_media_meta(None) is None
+    assert multimodal.parse_media_meta(b"") is None
+
+
 def test_parse_image_dims_truncated_headers_return_none(spark):
     """A corrupt/truncated blob must yield None, never raise: the kernel
     runs inside mapInPandas with no per-row handler (review-caught: a

@@ -121,6 +121,15 @@ def test_multimodal_dims_has_no_python_stage(spark):
         assert marker not in plan
 
 
+def test_audio_meta_has_no_python_stage(spark):
+    """Audio/container header parsing (WAV chunk walk, MP4 box walks) is
+    hex/conv/substring built-ins plus aggregate HOFs — a Python eval node
+    here is a regression (VERDICT r4 item #4, multimodal_dims precedent)."""
+    plan = plan_of(REGISTRY["audio_meta"].fn(spark, SF), "simple")
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonMapInArrow"):
+        assert marker not in plan
+
+
 def test_jaccard_verify_broadcasts_survive_to_joins(spark):
     """VERDICT r1 #7: the broadcast hints in jaccard_verify must reach their
     joins (a hint placed before union/distinct is silently stripped)."""
