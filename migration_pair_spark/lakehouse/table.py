@@ -335,6 +335,19 @@ class LakeTable:
         children from a NULL parent yields a non-null struct of nulls."""
         if have == want:
             return expr
+        if isinstance(want, T.ArrayType):
+            # array-of-struct evolution: conform each element (transform is
+            # a Catalyst HOF — per-row JVM work, no Python stage)
+            if not isinstance(have, T.ArrayType):
+                return F.lit(None).cast(want)
+            return F.when(expr.isNull(), F.lit(None).cast(want)).otherwise(
+                F.transform(
+                    expr,
+                    lambda x: LakeTable._conform(
+                        x, have.elementType, want.elementType
+                    ),
+                )
+            )
         if isinstance(want, T.StructType):
             if not isinstance(have, T.StructType):
                 return F.lit(None).cast(want)
@@ -384,6 +397,25 @@ class LakeTable:
                     F.col(col)
                     .withField(r["new"], F.col(col).getField(r["old"]))
                     .dropFields(r["old"]),
+                )
+            elif (
+                isinstance(have, T.ArrayType)
+                and isinstance(have.elementType, T.StructType)
+                and r["old"] in have.elementType.fieldNames()
+            ):
+                # array-of-struct: rename inside each element via transform
+                # (the lambda must be unary — transform treats a second
+                # parameter as the element index; it is invoked eagerly, so
+                # capturing the loop bindings here is safe)
+                old_f, new_f = r["old"], r["new"]
+                df = df.withColumn(
+                    col,
+                    F.transform(
+                        F.col(col),
+                        lambda x: x.withField(
+                            new_f, x.getField(old_f)
+                        ).dropFields(old_f),
+                    ),
                 )
         cur = self.schema
         cols = []
@@ -1081,7 +1113,14 @@ class LakeTable:
                     )
                 i = names.index(col)
                 dt = fields[i].dataType
-                if not isinstance(dt, T.StructType):
+                # the op targets the element struct when the column is an
+                # array<struct<...>> (per-region/per-frame multimodal
+                # metadata — VERDICT r4 item #5)
+                is_array = isinstance(dt, T.ArrayType) and isinstance(
+                    dt.elementType, T.StructType
+                )
+                target = dt.elementType if is_array else dt
+                if not isinstance(target, T.StructType):
                     raise ValueError(
                         f"cannot add field to non-struct column {col} "
                         f"({dt.simpleString()})"
@@ -1099,19 +1138,22 @@ class LakeTable:
                     for a in sadds
                 ):
                     continue
-                if op.name in dt.fieldNames():
-                    have = dt[op.name].dataType
+                if op.name in target.fieldNames():
+                    have = target[op.name].dataType
                     if have == want:
                         continue  # effect present (pre-history manifests)
                     raise ValueError(
                         f"field {col}.{op.name} already exists with type "
                         f"{have.simpleString()} (wanted {want.simpleString()})"
                     )
+                new_struct = T.StructType(
+                    list(target.fields) + [T.StructField(op.name, want, True)]
+                )
                 fields[i] = T.StructField(
                     col,
-                    T.StructType(
-                        list(dt.fields) + [T.StructField(op.name, want, True)]
-                    ),
+                    T.ArrayType(new_struct, dt.containsNull)
+                    if is_array
+                    else new_struct,
                     fields[i].nullable,
                 )
                 sadds.append(
@@ -1131,7 +1173,11 @@ class LakeTable:
                     )
                 i = names.index(col)
                 dt = fields[i].dataType
-                if not isinstance(dt, T.StructType):
+                is_array = isinstance(dt, T.ArrayType) and isinstance(
+                    dt.elementType, T.StructType
+                )
+                target = dt.elementType if is_array else dt
+                if not isinstance(target, T.StructType):
                     raise ValueError(
                         f"cannot rename field in non-struct column {col}"
                     )
@@ -1140,7 +1186,7 @@ class LakeTable:
                     r["column"] == col and r["old"] == op.old and r["new"] == op.new
                     for r in srenames
                 )
-                fnames = dt.fieldNames()
+                fnames = target.fieldNames()
                 if replayed or (op.new in fnames and op.old not in fnames):
                     continue  # already applied (history, or effect present)
                 if op.new in fnames:
@@ -1152,18 +1198,21 @@ class LakeTable:
                     raise ValueError(
                         f"cannot rename missing field {col}.{op.old}"
                     )
+                renamed = T.StructType(
+                    [
+                        T.StructField(
+                            op.new if f.name == op.old else f.name,
+                            f.dataType,
+                            f.nullable,
+                        )
+                        for f in target.fields
+                    ]
+                )
                 fields[i] = T.StructField(
                     col,
-                    T.StructType(
-                        [
-                            T.StructField(
-                                op.new if f.name == op.old else f.name,
-                                f.dataType,
-                                f.nullable,
-                            )
-                            for f in dt.fields
-                        ]
-                    ),
+                    T.ArrayType(renamed, dt.containsNull)
+                    if is_array
+                    else renamed,
                     fields[i].nullable,
                 )
                 srenames.append(

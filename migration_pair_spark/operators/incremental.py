@@ -378,7 +378,9 @@ class IncrementalDeduper:
                 keepers = new_docs.select(
                     "doc_id", F.col("doc_id").alias("keeper_doc_id")
                 )
-            return keepers.localCheckpoint(), n_rejected, sorted(set(uf.bridges))
+            # no checkpoint: unlike the pairs DF, this plan depends only on
+            # the caller's input and a tiny local map — safe to return lazy
+            return keepers, n_rejected, sorted(set(uf.bridges))
         # distributed fallback: label every edge node AND every batch doc,
         # then read bridges off the labels (a component holding >= 2 distinct
         # seen keepers) and keepers off the > seen_max slice
@@ -492,6 +494,15 @@ class IncrementalDeduper:
             return df
 
         try:
+            # Parallelize the narrow signing chain: a small batch often
+            # arrives as ONE file -> one input partition, and the
+            # explode-heavy shingle map then runs single-threaded (profiled
+            # ~2 s of a ~10 s ingest at sf0.1). Repartition ONLY when the
+            # batch's natural parallelism is below the cluster's — a large
+            # multi-file batch keeps its partitioning and pays no shuffle.
+            par = self.spark.sparkContext.defaultParallelism
+            if new_docs.rdd.getNumPartitions() < par:
+                new_docs = keep(new_docs.repartition(par, "doc_id"))
             sh_new = keep(dd.shingles(new_docs))
             sig_new = dd.minhash_signatures(new_docs, shingles_df=sh_new)
             bands_new = keep(self._band_rows(sig_new))
@@ -878,6 +889,10 @@ class IncrementalEmbeddingIndex:
             return df
 
         try:
+            # small-batch parallelism fix — see IncrementalDeduper.ingest
+            par = self.spark.sparkContext.defaultParallelism
+            if new_emb.rdd.getNumPartitions() < par:
+                new_emb = keep(new_emb.repartition(par, "vec_id"))
             bucket_rows = keep(self._bucket_rows(new_emb))
             # cold-start fast path mirrors the text deduper: an empty index
             # has nothing to probe and no candidate vectors to fetch
