@@ -103,6 +103,14 @@ def main(argv: list[str] | None = None) -> int:
                          "replays/heals instead of double-ingesting")
     di.add_argument("--threshold", type=float, default=0.5,
                     help="jaccard threshold for rejection (create-time only)")
+    di.add_argument("--max-bucket", type=int, default=1000,
+                    help="hot-bucket guard: LSH buckets above this size "
+                         "contribute only their exemplar to candidate "
+                         "generation (create-time only; 0 disables)")
+    di.add_argument("--on-bridge", choices=["error", "greedy"],
+                    default="error",
+                    help="policy when a batch bridges two committed "
+                         "duplicate clusters (create-time only)")
     di.add_argument("--export-accepted", default=None,
                     help="optionally write the accepted corpus parquet here")
 
@@ -114,6 +122,9 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--checkpoint", required=True)
     ds.add_argument("--max-files-per-trigger", type=int, default=1)
     ds.add_argument("--threshold", type=float, default=0.5)
+    ds.add_argument("--max-bucket", type=int, default=1000)
+    ds.add_argument("--on-bridge", choices=["error", "greedy"],
+                    default="error")
 
     cu = sub.add_parser("curate")
     cu.add_argument("--docs", required=True, help="input documents parquet")
@@ -215,7 +226,9 @@ def main(argv: list[str] | None = None) -> int:
             ded = IncrementalDeduper(spark, args.root)
         else:
             ded = IncrementalDeduper.create(
-                spark, args.root, threshold=args.threshold
+                spark, args.root, threshold=args.threshold,
+                max_bucket=args.max_bucket or None,
+                on_bridge=args.on_bridge,
             )
         docs = spark.read.parquet(args.docs).select("doc_id", "text")
         res = ded.ingest(docs, args.batch_id)
@@ -223,7 +236,7 @@ def main(argv: list[str] | None = None) -> int:
             k: res.get(k)
             for k in (
                 "replayed", "healed", "empty", "n_new", "n_accepted",
-                "n_rejected", "probe_buckets", "corpus_version",
+                "n_rejected", "bridges", "probe_buckets", "corpus_version",
                 "index_version",
             )
             if k in res
@@ -245,7 +258,9 @@ def main(argv: list[str] | None = None) -> int:
             ded = IncrementalDeduper(spark, args.root)
         else:
             ded = IncrementalDeduper.create(
-                spark, args.root, threshold=args.threshold
+                spark, args.root, threshold=args.threshold,
+                max_bucket=args.max_bucket or None,
+                on_bridge=args.on_bridge,
             )
         results = run_dedup_stream(
             spark, ded, args.docs, args.checkpoint,
