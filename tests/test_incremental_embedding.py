@@ -121,9 +121,17 @@ def test_replay_heal_empty_and_gate(spark, index):
     # empty batch: clean no-op
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert index.ingest(empty, "quiet")["empty"] is True
-    # monotone gate
+    # gap-absorbed interval: a batch FULLY below the watermark is
+    # indistinguishable from a redelivery and no-ops (same contract as the
+    # text deduper's gate); a batch STRADDLING the applied boundary is a
+    # delivery-order violation and fails loudly
+    vv, iv = index.vectors.version, index.index.version
+    assert index.ingest(_df(spark, [(4, _vec(4))]), "below")["replayed"] is True
+    assert (index.vectors.version, index.index.version) == (vv, iv)
     with pytest.raises(ValueError, match="monotone"):
-        index.ingest(_df(spark, [(4, _vec(4))]), "bad")
+        index.ingest(
+            _df(spark, [(4, _vec(4)), (30, _vec(30))]), "bad"
+        )
     # and the healed index finds the cross-batch chain
     r2 = index.ingest(_df(spark, BATCH2), "b2")
     got = {(a, b) for a, b, _ in _pairs(r2["pairs"])}
