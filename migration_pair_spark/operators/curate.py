@@ -90,16 +90,16 @@ def curate_corpus(
     # consumed by the time it returns — unpersist before handing back the
     # (lazy) result instead of leaking the largest intermediate for the
     # session lifetime.
-    sh = dd.shingles(gated, text_col, id_col).persist()
+    arr = dd.shingle_arrays(gated, text_col, id_col).persist()
     try:
-        sig = dd.minhash_signatures(gated, text_col, id_col, shingles_df=sh)
+        sig = dd.minhash_signatures(gated, text_col, id_col, arrays_df=arr)
         cand = dd.lsh_candidate_pairs(sig, id_col)
         pairs = dd.jaccard_verify(
-            gated, cand, text_col, id_col, threshold=neardup_threshold, shingles_df=sh
+            gated, cand, text_col, id_col, threshold=neardup_threshold, arrays_df=arr
         )
         clusters = dd.dedup_clusters(gated, pairs, id_col)
     finally:
-        sh.unpersist()
+        arr.unpersist()
     keep2 = clusters.filter(F.col("keeper_doc_id") == F.col(id_col)).select(id_col)
     docs2 = gated.join(keep2, id_col, "left_semi")
 

@@ -7,18 +7,20 @@ for *cross-engine determinism* (md5 over utf-8 strings exists bit-identically
 in Spark and DuckDB), so each step has an exact SQL oracle.
 
 Scale shape (100 TB corpus):
-- shingling explodes ~L rows per doc — a narrow map-side op, no shuffle;
-- signatures are one groupBy(doc) — a single shuffle on doc_id;
+- shingling builds a distinct-shingle ARRAY per doc — a narrow map, no
+  shuffle (shingle_arrays);
+- signatures are per-seed array_min(transform(...)) over that array — also
+  narrow: signing the corpus is a pure map stage with ZERO shuffles;
 - LSH banding self-joins on (band, band_hash) — the join key is the bucket,
   so only docs sharing a bucket meet; hot buckets (boilerplate pages) are the
-  skew risk, handled by AQE skew-join + the candidate cap;
-- Jaccard verification joins shingle sets ONLY for candidate pairs (semi-join
-  pushdown), never all-pairs.
+  skew risk, handled by AQE skew-join + the exemplar-star candidate cap;
+- Jaccard verification explodes shingles ONLY for candidate docs (broadcast
+  semi-join on the arrays first), never the corpus.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MINHASH_SEEDS = [f"s{i}" for i in range(8)]
@@ -41,18 +43,34 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def shingle_arrays(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = SHINGLE_K
+) -> DataFrame:
+    """Distinct char k-gram shingles per doc as an ARRAY column
+    (id_col, sh_arr) — the shared building block of :func:`shingles`,
+    :func:`minhash_signatures`, and :func:`jaccard_verify`.
+
+    Scale shape: this is a NARROW map (sequence + transform +
+    array_distinct, all JVM-side) — per-doc dedup needs no cross-row
+    state, so no shuffle. The earlier row-form pipeline paid a full
+    ``distinct`` shuffle of every (doc, shingle) row just to dedupe
+    within docs."""
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+                f"p -> substring({text_col}, p, {k}))"
+            )
+        ).alias("sh_arr"),
+    )
+
+
 def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = SHINGLE_K) -> DataFrame:
-    """Distinct char k-gram shingles per doc: (doc_id, shingle)."""
-    return (
-        docs.select(
-            F.col(id_col),
-            F.explode(
-                F.expr(f"sequence(1, greatest(length({text_col}) - {k - 1}, 1))")
-            ).alias("pos"),
-            F.col(text_col),
-        )
-        .select(F.col(id_col), F.substring(F.col(text_col), F.col("pos"), k).alias("shingle"))
-        .distinct()
+    """Distinct char k-gram shingles per doc: (doc_id, shingle). Explode of
+    :func:`shingle_arrays` — already distinct per doc, so no shuffle."""
+    return shingle_arrays(docs, text_col, id_col, k).select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
     )
 
 
@@ -63,17 +81,41 @@ def minhash_signatures(
     seeds: list[str] = MINHASH_SEEDS,
     k: int = SHINGLE_K,
     shingles_df: DataFrame | None = None,
+    arrays_df: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per doc: for each seed, min(md5(seed || shingle)).
-    One shuffle (groupBy doc). Pass a persisted ``shingles_df`` when the
-    shingle set is shared with other stages (LSH verify) to avoid
-    recomputing the explode+distinct pipeline."""
-    sh = shingles_df if shingles_df is not None else shingles(docs, text_col, id_col, k)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"h{i}")
+    """MinHash signature per doc: for each seed, min(md5(seed || shingle))
+    over the doc's distinct shingles.
+
+    Default path is ZERO-shuffle: per-seed ``array_min(transform(...))``
+    over the shingle array — the min over a doc's shingles needs no
+    cross-row state, so signing a 100-TB corpus is a pure map stage.
+    (Earlier rounds grouped exploded shingle rows by doc — one full-corpus
+    shuffle per signing pass; min over the array is the identical value.)
+    Pass ``arrays_df`` to reuse a persisted :func:`shingle_arrays` result;
+    ``shingles_df`` (exploded rows) keeps the legacy groupBy form for
+    callers that already materialized rows."""
+    if shingles_df is not None:
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(seed), F.col("shingle")))).alias(f"h{i}")
+            for i, seed in enumerate(seeds)
+        ]
+        return shingles_df.groupBy(id_col).agg(*aggs)
+    arr = (
+        arrays_df
+        if arrays_df is not None
+        else shingle_arrays(docs, text_col, id_col, k)
+    )
+    # NB: capture the seed via a factory, NOT a defaulted second lambda arg —
+    # F.transform treats a two-arg lambda as (element, index) and would bind
+    # the array index over the default.
+    def _seed_hash(seed: str):
+        return lambda s: F.md5(F.concat(F.lit(seed), s))
+
+    cols = [
+        F.array_min(F.transform(F.col("sh_arr"), _seed_hash(seed))).alias(f"h{i}")
         for i, seed in enumerate(seeds)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return arr.select(F.col(id_col), *cols)
 
 
 def band_rows(
@@ -104,15 +146,77 @@ def band_rows(
     ).select(id_col, "b.band", "b.bucket")
 
 
+def cap_exemplar_star(
+    rows: DataFrame,
+    key_cols: "list[str] | tuple[str, ...]",
+    id_col: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Exemplar-star hot-bucket cap: buckets with more than ``max_bucket``
+    rows keep only their minimum-id exemplar. Physical shape: a tiny
+    ``groupBy`` aggregate (map-side partial combine — the shuffle carries
+    one (key, count, min) row per bucket, never the rows) filtered to the
+    over-cap buckets (bounded by n/cap rows) and BROADCAST left-joined
+    back. This replaces the earlier ``Window.partitionBy(key)`` form, which
+    shuffled AND sorted every row just to find the rare hot buckets —
+    measured ~2x slower per probe at sf0.1, and strictly worse at scale."""
+    if not max_bucket:
+        return rows
+    keys = list(key_cols)
+    hot = (
+        rows.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bn"), F.min(id_col).alias("_bmin"))
+        .filter(F.col("_bn") > F.lit(int(max_bucket)))
+        .drop("_bn")
+    )
+    return (
+        rows.join(F.broadcast(hot), keys, "left")
+        .filter(F.col("_bmin").isNull() | (F.col(id_col) == F.col("_bmin")))
+        .drop("_bmin")
+    )
+
+
+def capped_self_join(
+    rows: DataFrame,
+    key_cols: "list[str] | tuple[str, ...]",
+    id_col: str,
+    max_bucket: int | None,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """Bucket self-join over (key..., id) rows: ids sharing ANY bucket pair
+    up (a < b, distinct), with the exemplar-star cap applied to the LEFT
+    side. Shared by batch LSH (:func:`lsh_candidate_pairs`), batch SRP
+    (similarity.neardup_candidates_lsh), and the incremental ingests'
+    within-batch joins — one implementation so the cap policy cannot
+    drift between paths."""
+    keys = list(key_cols)
+    a = cap_exemplar_star(rows, keys, id_col, max_bucket).alias("a")
+    b = rows.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b)
+        )
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     bands: tuple[tuple[int, ...], ...] = DEFAULT_BANDS,
     max_bucket: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Band the signature (rows-per-band LSH) and self-join on the band
     bucket: docs agreeing on ANY full band become a candidate pair
-    (doc_a < doc_b, distinct).
+    (doc_a < doc_b, distinct). ``banded`` lets a caller that already
+    materialized :func:`band_rows` (the incremental ingest persists them
+    for the index append) reuse it instead of re-banding the signatures.
 
     HOT-BUCKET GUARD (``max_bucket``): real web corpora carry mega-clusters
     (boilerplate, templated pages) that collapse into one band bucket, and
@@ -128,32 +232,12 @@ def lsh_candidate_pairs(
     Candidate volume on a planted mega-cluster is pinned in
     tests/test_hot_bucket.py. Default ``None`` keeps the exact semantics
     (the batch catalog query's DuckDB oracle enumerates all pairs)."""
-    banded = band_rows(signatures, id_col, bands)
-    left = banded
-    if max_bucket:
-        w = Window.partitionBy("band", "bucket")
-        left = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .withColumn("_bmin", F.min(id_col).over(w))
-            .filter(
-                (F.col("_bn") <= F.lit(int(max_bucket)))
-                | (F.col(id_col) == F.col("_bmin"))
-            )
-            .drop("_bn", "_bmin")
-        )
-    a = left.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
+    if banded is None:
+        banded = band_rows(signatures, id_col, bands)
+    else:
+        banded = banded.select(id_col, "band", "bucket")
+    return capped_self_join(
+        banded, ["band", "bucket"], id_col, max_bucket, "doc_a", "doc_b"
     )
 
 
@@ -165,13 +249,18 @@ def jaccard_verify(
     k: int = SHINGLE_K,
     threshold: float = 0.0,
     shingles_df: DataFrame | None = None,
+    arrays_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs only: semi-join the shingle
     sets down to candidate docs, count the intersection per pair, and divide
     by |A| + |B| - |A∩B|. The pair set is small by construction (LSH
-    pre-filter), so it is broadcast to both shingle-join sides."""
-    sh = shingles_df if shingles_df is not None else shingles(docs, text_col, id_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    pre-filter), so it is broadcast to both shingle-join sides.
+
+    Default (and ``arrays_df``) path semi-joins the shingle ARRAYS first
+    and explodes only candidate docs' arrays — at 100 TB the explode runs
+    over the candidate slice, never the corpus; doc shingle-set sizes come
+    from ``size(sh_arr)`` (no groupBy). ``shingles_df`` keeps the legacy
+    exploded-rows form."""
     cand_docs = (
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select("doc_b"))
@@ -181,7 +270,18 @@ def jaccard_verify(
     # union/distinct is stripped during optimization ("join hint ... not part
     # of a join relation" warning) and the intended broadcast silently never
     # happens. Pinned in tests/test_plans.py.
-    sh_c = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+    if shingles_df is not None:
+        sh_c = shingles_df.join(F.broadcast(cand_docs), id_col, "left_semi")
+        sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        arr = (
+            arrays_df
+            if arrays_df is not None
+            else shingle_arrays(docs, text_col, id_col, k)
+        )
+        arr_c = arr.join(F.broadcast(cand_docs), id_col, "left_semi")
+        sh_c = arr_c.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+        sizes = arr_c.select(F.col(id_col), F.size("sh_arr").alias("sz"))
     inter = (
         F.broadcast(pairs).join(sh_c.alias("sa"), F.col("doc_a") == F.col(f"sa.{id_col}"))
         .join(

@@ -84,11 +84,15 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from migration_pair_spark.cdc.apply import merge_ranges, subtract_ranges
+from migration_pair_spark.cdc.apply import (
+    _aqe_disabled,
+    merge_ranges,
+    subtract_ranges,
+)
 from migration_pair_spark.lakehouse.table import LakeTable
 from migration_pair_spark.operators import dedup as dd
 
@@ -141,21 +145,10 @@ def _cap_hot_buckets(
     rows: DataFrame, key_col: str, id_col: str, max_bucket: int | None
 ) -> DataFrame:
     """Index-side hot-bucket guard: buckets with more than ``max_bucket``
-    rows keep only their exemplar (minimum id). One window over the
-    already-bucket-pruned read; the downstream join shuffles on the same
-    key, so AQE reuses the partitioning."""
-    if not max_bucket:
-        return rows
-    w = Window.partitionBy(key_col)
-    return (
-        rows.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .withColumn("_bmin", F.min(id_col).over(w))
-        .filter(
-            (F.col("_bn") <= F.lit(int(max_bucket)))
-            | (F.col(id_col) == F.col("_bmin"))
-        )
-        .drop("_bn", "_bmin")
-    )
+    rows keep only their exemplar (minimum id). Delegates to the shared
+    tiny-agg + broadcast form (dedup.cap_exemplar_star) — the earlier
+    window form shuffled and sorted every index row read by the probe."""
+    return dd.cap_exemplar_star(rows, [key_col], id_col, max_bucket)
 
 
 class _UnionFind:
@@ -209,6 +202,11 @@ class IncrementalDeduper:
     #: label-propagation loop — pure execution tuning, identical results
     #: (equivalence pinned in tests); the fallback keeps the path unbounded.
     driver_cc_max_edges = 500_000
+
+    #: repartition sizing for the narrow signing chain: spread the batch to
+    #: ~this many docs per task, capped at cluster width. Shingling is the
+    #: heavy map (k-gram explode per doc), so the per-task quantum is small.
+    rows_per_task = 256
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -493,25 +491,47 @@ class IncrementalDeduper:
             cached.append(df.persist())
             return df
 
+        # AQE off for the ingest's own jobs (same refcounted per-session
+        # toggle as the CDC apply): the pipeline is fixed-shape — explicit
+        # broadcasts, known partition counts, and the exemplar-star cap for
+        # skew — so AQE's per-stage materialization barrier is pure
+        # overhead here (~20% of ingest wall at sf0.1, re-measured round 5
+        # after the narrow-signature rewrite; round 4's shuffle-heavy
+        # pipeline had the opposite trade).
+        aqe_off = _aqe_disabled(self.spark)
+        aqe_off.__enter__()
         try:
             # Parallelize the narrow signing chain: a small batch often
             # arrives as ONE file -> one input partition, and the
             # explode-heavy shingle map then runs single-threaded (profiled
-            # ~2 s of a ~10 s ingest at sf0.1). Repartition ONLY when the
-            # batch's natural parallelism is below the cluster's — a large
-            # multi-file batch keeps its partitioning and pays no shuffle.
-            par = self.spark.sparkContext.defaultParallelism
-            if new_docs.rdd.getNumPartitions() < par:
+            # ~2 s of a ~10 s ingest at sf0.1). Target partition count is
+            # sized by the batch's ROW count (known from the stats job) —
+            # a tiny batch must not fan out to full cluster width and pay
+            # scheduler overhead per near-empty task; a large multi-file
+            # batch keeps its natural partitioning and pays no shuffle.
+            par = min(
+                self.spark.sparkContext.defaultParallelism,
+                max(1, n_new // self.rows_per_task),
+            )
+            if 1 < par and new_docs.rdd.getNumPartitions() < par:
                 new_docs = keep(new_docs.repartition(par, "doc_id"))
-            sh_new = keep(dd.shingles(new_docs))
-            sig_new = dd.minhash_signatures(new_docs, shingles_df=sh_new)
+            # shingle ARRAYS, not exploded rows: signatures derive narrowly
+            # (zero shuffles — see dedup.minhash_signatures) and the verify
+            # stage explodes only candidate docs' arrays
+            arr_new = keep(dd.shingle_arrays(new_docs))
+            sig_new = dd.minhash_signatures(new_docs, arrays_df=arr_new)
             bands_new = keep(self._band_rows(sig_new))
 
             # -- candidates: new x index (bucket-pruned) + new x new (batch
-            # LSH, hot-bucket capped). COLD-START FAST PATH: an empty index
-            # has no probe targets, no candidate seen docs, no keeper map.
+            # LSH, hot-bucket capped, reusing the PERSISTED band rows —
+            # re-banding from sig_new would recompute the minhash agg).
+            # COLD-START FAST PATH: an empty index has no probe targets,
+            # no candidate seen docs, no keeper map.
             cand_new = dd.lsh_candidate_pairs(
-                sig_new, bands=self.bands, max_bucket=self.max_bucket
+                sig_new,
+                bands=self.bands,
+                max_bucket=self.max_bucket,
+                banded=bands_new,
             )
             index_has_rows = any(self.index.manifest["buckets"].values())
             if index_has_rows:
@@ -528,8 +548,10 @@ class IncrementalDeduper:
                     F.col("seen_doc_id").alias("doc_id")
                 ).distinct()
                 seen_rows = keep(self._candidate_corpus_rows(seen_ids))
-                sh_all = keep(
-                    sh_new.union(dd.shingles(seen_rows.select("doc_id", "text")))
+                arr_all = keep(
+                    arr_new.union(
+                        dd.shingle_arrays(seen_rows.select("doc_id", "text"))
+                    )
                 )
                 keeper_map = seen_rows.select(
                     F.col("doc_id").alias("_sid"),
@@ -538,12 +560,12 @@ class IncrementalDeduper:
             else:
                 probe_buckets = []
                 candidates = keep(cand_new.select("doc_a", "doc_b").distinct())
-                sh_all = sh_new
+                arr_all = arr_new
                 keeper_map = None
             # localCheckpoint (not persist): `pairs` is returned to the
             # caller and must survive the deduper's tables being deleted
             verified = dd.jaccard_verify(
-                new_docs, candidates, shingles_df=sh_all
+                new_docs, candidates, arrays_df=arr_all
             ).localCheckpoint()
 
             # -- keepers: connected components over duplicate edges, with
@@ -590,6 +612,7 @@ class IncrementalDeduper:
             # carry transitivity). A crash here is healed by the gate above.
             self._append_index(bands_new, rng, batch_id, n_new)
         finally:
+            aqe_off.__exit__(None, None, None)
             for df in cached:
                 df.unpersist()
         return {
@@ -708,6 +731,11 @@ class IncrementalEmbeddingIndex:
     protocol as the text deduper (module docstring); ids must be unique
     within a batch and monotone across batches."""
 
+    #: repartition sizing for the signing chain (see IncrementalDeduper):
+    #: the SRP matmul is one Arrow batch op per partition, so vectors take
+    #: a larger per-task quantum than shingled text.
+    rows_per_task = 1024
+
     def __init__(self, spark: SparkSession, root: str):
         from migration_pair_spark.operators import similarity as sim
 
@@ -793,9 +821,10 @@ class IncrementalEmbeddingIndex:
     def _candidates(self, new_emb: DataFrame, bucket_rows: DataFrame):
         """(vec_a, vec_b, seen ids) candidate pairs: bucket-pruned index
         probe (new x seen, hot-bucket capped) + SRP self-join within the
-        batch (new x new, same cap)."""
-        from migration_pair_spark.operators import similarity as sim
-
+        batch (new x new, same cap). The self-join reuses the PERSISTED
+        ``bucket_rows`` — bucket_key = "table|bucket" is injective over
+        (_t, _bucket) for fixed-width signatures, so joining on it is the
+        same banding, without re-running the Arrow matmul a second time."""
         lake_buckets = self.probe_lake_buckets(bucket_rows)
         idx = (
             self.index.read_buckets(lake_buckets)
@@ -814,13 +843,10 @@ class IncrementalEmbeddingIndex:
             )
             .distinct()
         )
-        vs_new = sim.neardup_candidates_lsh(
-            new_emb,
-            n_planes=self.n_planes,
-            n_tables=self.n_tables,
-            dim=self.dim,
-            max_bucket=self.max_bucket,
-        ).select("vec_a", "vec_b")
+        vs_new = dd.capped_self_join(
+            bucket_rows, ["bucket_key"], "doc_id", self.max_bucket,
+            "vec_a", "vec_b",
+        )
         return vs_seen, vs_new, lake_buckets
 
     def _candidate_vectors(self, seen_ids: DataFrame) -> DataFrame:
@@ -888,10 +914,19 @@ class IncrementalEmbeddingIndex:
             cached.append(df.persist())
             return df
 
+        # fixed-shape pipeline — AQE off for the ingest's jobs (see
+        # IncrementalDeduper.ingest)
+        aqe_off = _aqe_disabled(self.spark)
+        aqe_off.__enter__()
         try:
-            # small-batch parallelism fix — see IncrementalDeduper.ingest
-            par = self.spark.sparkContext.defaultParallelism
-            if new_emb.rdd.getNumPartitions() < par:
+            # small-batch parallelism fix, row-count sized — see
+            # IncrementalDeduper.ingest (vectors are cheaper per row than
+            # shingled docs, so the per-task quantum is larger)
+            par = min(
+                self.spark.sparkContext.defaultParallelism,
+                max(1, n_new // self.rows_per_task),
+            )
+            if 1 < par and new_emb.rdd.getNumPartitions() < par:
                 new_emb = keep(new_emb.repartition(par, "vec_id"))
             bucket_rows = keep(self._bucket_rows(new_emb))
             # cold-start fast path mirrors the text deduper: an empty index
@@ -912,13 +947,10 @@ class IncrementalEmbeddingIndex:
                 )
             else:
                 probe_buckets = []
-                candidates = sim.neardup_candidates_lsh(
-                    new_emb,
-                    n_planes=self.n_planes,
-                    n_tables=self.n_tables,
-                    dim=self.dim,
-                    max_bucket=self.max_bucket,
-                ).select("vec_a", "vec_b")
+                candidates = dd.capped_self_join(
+                    bucket_rows, ["bucket_key"], "doc_id", self.max_bucket,
+                    "vec_a", "vec_b",
+                )
                 all_vecs = keep(new_emb.select("vec_id", "embedding"))
             qa = sim._quantized_side(all_vecs, "vec_a", "vec_id", "embedding")
             qb = sim._quantized_side(all_vecs, "vec_b", "vec_id", "embedding")
@@ -950,6 +982,7 @@ class IncrementalEmbeddingIndex:
             )
             self._append_index(bucket_rows, rng, batch_id, n_new)
         finally:
+            aqe_off.__exit__(None, None, None)
             for df in cached:
                 df.unpersist()
         return {

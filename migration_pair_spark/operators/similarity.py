@@ -314,40 +314,20 @@ def neardup_candidates_lsh(
     can pin candidate VOLUME (selectivity), not just plan shape.
 
     ``max_bucket`` is the hot-bucket guard (same exemplar-star policy and
-    recall contract as dedup.lsh_candidate_pairs): SRP buckets above the cap
-    contribute only their minimum-id exemplar on the left join side, so an
-    embedding mega-cluster emits O(m) star candidates instead of O(m^2).
-    Default ``None`` = exact enumeration (required by the all-pairs
-    oracles; at permissive thresholds SRP buckets are inherently coarse,
-    so production ingest sets the cap via IncrementalEmbeddingIndex)."""
+    recall contract as dedup.lsh_candidate_pairs — the cap runs through the
+    shared dedup.capped_self_join, tiny-agg + broadcast, never a window
+    sort): SRP buckets above the cap contribute only their minimum-id
+    exemplar on the left join side, so an embedding mega-cluster emits
+    O(m) star candidates instead of O(m^2). Default ``None`` = exact
+    enumeration (required by the all-pairs oracles; at permissive
+    thresholds SRP buckets are inherently coarse, so production ingest
+    sets the cap via IncrementalEmbeddingIndex)."""
+    from migration_pair_spark.operators.dedup import capped_self_join
+
     w = srp_weights(n_tables, n_planes, dim)
     b = _srp_bucket_rows(emb, "vec_id_x", id_col, vec_col, w)
-    left = b
-    if max_bucket:
-        from pyspark.sql import Window
-
-        win = Window.partitionBy("_t", "_bucket")
-        left = (
-            b.withColumn("_bn", F.count(F.lit(1)).over(win))
-            .withColumn("_bmin", F.min("vec_id_x").over(win))
-            .filter(
-                (F.col("_bn") <= F.lit(int(max_bucket)))
-                | (F.col("vec_id_x") == F.col("_bmin"))
-            )
-            .drop("_bn", "_bmin")
-        )
-    return (
-        left.alias("a")
-        .join(
-            b.alias("b"),
-            (F.col("a._t") == F.col("b._t"))
-            & (F.col("a._bucket") == F.col("b._bucket"))
-            & (F.col("a.vec_id_x") < F.col("b.vec_id_x")),
-        )
-        .select(
-            F.col("a.vec_id_x").alias("vec_a"), F.col("b.vec_id_x").alias("vec_b")
-        )
-        .distinct()
+    return capped_self_join(
+        b, ["_t", "_bucket"], "vec_id_x", max_bucket, "vec_a", "vec_b"
     )
 
 

@@ -42,6 +42,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a narrow scan to cluster width. A small local parquet file
+    arrives as ONE input partition, and a fully-narrow pipeline (shingle
+    arrays -> zero-shuffle signatures) then runs single-threaded end to
+    end — the shuffle that used to provide parallelism as a side effect is
+    gone by design. At cluster scale the scan is already split; this
+    repartition fires only when the input is narrower than the cluster,
+    and it moves the COMPACT doc rows once (hash on the id keys), not the
+    exploded shingles."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par, *[F.col(k) for k in keys])
+    return df
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -663,10 +678,9 @@ _SH_SQL = """
     "distinct char-5-gram shingle count per doc",
 )
 def ngram_shingle_counts(spark, sf_dir):
-    return (
-        dd.shingles(t(spark, sf_dir, "documents"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    # size(sh_arr) — per-doc distinct count with no explode and no shuffle
+    return dd.shingle_arrays(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.size("sh_arr").cast("long").alias("n_shingles")
     )
 
 
@@ -713,16 +727,18 @@ def minhash_signatures_docs(spark, sf_dir):
     "MinHash-LSH near-dup candidates with exact Jaccard verification",
 )
 def lsh_dup_pairs(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    docs = _spread(spark, t(spark, sf_dir, "documents"), "doc_id")
     # the shingle set feeds three stages (signatures, candidate filter,
-    # Jaccard verify) — materialize it once. localCheckpoint, not persist:
-    # the returned plan is lazy, so nothing could ever unpersist a cache
-    # entry; checkpointed blocks are context-cleaner-reclaimed instead of
-    # pinned for the session lifetime (the bench re-runs this query).
-    sh = dd.shingles(docs).localCheckpoint()
-    sig = dd.minhash_signatures(docs, shingles_df=sh)
+    # Jaccard verify) — materialize it once, in ARRAY form (one compact row
+    # per doc; signatures read it narrowly, verify explodes only candidate
+    # docs). localCheckpoint, not persist: the returned plan is lazy, so
+    # nothing could ever unpersist a cache entry; checkpointed blocks are
+    # context-cleaner-reclaimed instead of pinned for the session lifetime
+    # (the bench re-runs this query).
+    arr = dd.shingle_arrays(docs).localCheckpoint()
+    sig = dd.minhash_signatures(docs, arrays_df=arr)
     pairs = dd.lsh_candidate_pairs(sig).localCheckpoint()
-    return dd.jaccard_verify(docs, pairs, shingles_df=sh)
+    return dd.jaccard_verify(docs, pairs, arrays_df=arr)
 
 
 @q(
@@ -768,11 +784,11 @@ def lsh_dup_pairs(spark, sf_dir):
     "(jaccard >= 0.5), keeper = min doc_id per component",
 )
 def neardup_doc_clusters(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
-    sh = dd.shingles(docs).localCheckpoint()  # see lsh_dup_pairs note
-    sig = dd.minhash_signatures(docs, shingles_df=sh)
+    docs = _spread(spark, t(spark, sf_dir, "documents"), "doc_id")
+    arr = dd.shingle_arrays(docs).localCheckpoint()  # see lsh_dup_pairs note
+    sig = dd.minhash_signatures(docs, arrays_df=arr)
     cand = dd.lsh_candidate_pairs(sig)
-    pairs = dd.jaccard_verify(docs, cand, shingles_df=sh, threshold=0.5)
+    pairs = dd.jaccard_verify(docs, cand, arrays_df=arr, threshold=0.5)
     return dd.dedup_clusters(docs, pairs)
 
 
