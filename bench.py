@@ -61,6 +61,8 @@ HEADLINE_QUERIES = [
     "stratified_split_docs",
     "tfidf_top_terms",
     "multimodal_dims",
+    "audio_meta",
+    "neardup_doc_clusters",
     "incremental_dedup_docs",
     "incremental_embedding_neardup",
 ]

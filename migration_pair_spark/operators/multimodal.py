@@ -99,18 +99,151 @@ def decode_image(payload: bytes) -> dict:
     return {"modality": "image", "width": img.width, "height": img.height}  # pragma: no cover
 
 
-def frame_sample(payload: bytes, every_n: int = 30) -> list[bytes]:
-    """Video frame sampling hook — STUB (no av/ffmpeg in this container)."""
-    raise NotImplementedError(
-        "video frame sampling requires pyav/ffmpeg, not present in this "
-        "environment — the mapInPandas plumbing in extract_binary_metadata "
-        "is the integration point"
-    )
-
-
 # MP4/ISO-BMFF box types that legitimately appear before moov at top level
 _MP4_TOP_BOXES = (b"ftyp", b"moov", b"free", b"skip", b"wide", b"mdat", b"styp")
 MAX_MEDIA_CHUNKS = 24
+
+
+def _mp4_child(payload: bytes, start: int, end: int, fourcc: bytes, max_boxes: int):
+    """(offset, size) of the first ``fourcc`` child box in [start, end), or
+    None. Bounded walk; a declared size below 8 (64-bit box / corruption)
+    stops the walk — treated as unparseable, like a truncated header."""
+    import struct
+
+    pos = start
+    for _ in range(max_boxes):
+        if pos < 0 or pos + 8 > end or pos + 8 > len(payload):
+            return None
+        sz = struct.unpack(">I", payload[pos : pos + 4])[0]
+        if payload[pos + 4 : pos + 8] == fourcc:
+            return pos, sz
+        if sz < 8:
+            return None
+        pos += sz
+    return None
+
+
+def parse_mp4_samples(
+    payload: bytes,
+    max_boxes: int = MAX_MEDIA_CHUNKS,
+    max_samples: int = 65536,
+) -> "list[tuple[int, int]] | None":
+    """Per-sample (absolute byte offset, size) pairs of an MP4/ISO-BMFF
+    container's FIRST track, by pure sample-table parsing — no codec
+    library. This is what makes :func:`frame_sample` real: the stbl box
+    fully indexes the media payload (ISO/IEC 14496-12):
+
+    - ``stsz``: uniform sample size, or a per-sample u32 size table;
+    - ``stco``/``co64``: absolute file offset of each chunk;
+    - ``stsc``: run-length (first_chunk, samples_per_chunk) mapping; samples
+      within a chunk are contiguous.
+
+    Walk: moov -> trak -> mdia -> minf -> stbl (each a bounded child walk),
+    then the three tables. Returns None for anything unparseable or
+    truncated MID-TABLE (never raises: runs inside mapInPandas kernels);
+    ``max_samples`` bounds per-row work against adversarial counts."""
+    import struct
+
+    if payload is None or len(payload) < 16 or payload[4:8] not in _MP4_TOP_BOXES:
+        return None
+    moov = _mp4_child(payload, 0, len(payload), b"moov", max_boxes)
+    if moov is None:
+        return None
+    pos, end = moov[0] + 8, min(moov[0] + moov[1], len(payload))
+    stbl_path = (b"trak", b"mdia", b"minf", b"stbl")
+    for fourcc in stbl_path:
+        box = _mp4_child(payload, pos, end, fourcc, max_boxes)
+        if box is None:
+            return None
+        pos, end = box[0] + 8, min(box[0] + box[1], len(payload))
+
+    def be32(p):
+        if p < 0 or p + 4 > len(payload):
+            return None
+        return struct.unpack(">I", payload[p : p + 4])[0]
+
+    def be64(p):
+        if p < 0 or p + 8 > len(payload):
+            return None
+        return struct.unpack(">Q", payload[p : p + 8])[0]
+
+    stsz = _mp4_child(payload, pos, end, b"stsz", max_boxes)
+    stsc = _mp4_child(payload, pos, end, b"stsc", max_boxes)
+    stco = _mp4_child(payload, pos, end, b"stco", max_boxes)
+    co64 = None if stco is not None else _mp4_child(payload, pos, end, b"co64", max_boxes)
+    if stsz is None or stsc is None or (stco is None and co64 is None):
+        return None
+    uniform = be32(stsz[0] + 12)
+    n_samples = be32(stsz[0] + 16)
+    if uniform is None or n_samples is None or n_samples > max_samples:
+        return None
+    sizes = []
+    for i in range(n_samples):
+        s = uniform if uniform > 0 else be32(stsz[0] + 20 + 4 * i)
+        if s is None:
+            return None
+        sizes.append(s)
+    cbox, wide = (stco, False) if stco is not None else (co64, True)
+    n_chunks = be32(cbox[0] + 12)
+    if n_chunks is None:
+        return None
+    offsets = []
+    for c in range(n_chunks):
+        o = be64(cbox[0] + 16 + 8 * c) if wide else be32(cbox[0] + 16 + 4 * c)
+        if o is None:
+            return None
+        offsets.append(o)
+    n_runs = be32(stsc[0] + 12)
+    if n_runs is None or n_runs < 1:
+        return None
+    runs = []
+    for r in range(n_runs):
+        first = be32(stsc[0] + 16 + 12 * r)
+        spc = be32(stsc[0] + 20 + 12 * r)
+        if first is None or spc is None or first < 1:
+            return None
+        runs.append((first, spc))
+    # expand: chunk c (1-based) holds the samples_per_chunk of the last run
+    # with first_chunk <= c; samples are contiguous from the chunk offset
+    out: list[tuple[int, int]] = []
+    si = 0
+    for c in range(1, n_chunks + 1):
+        spc = 0
+        for first, n in runs:
+            if first <= c:
+                spc = n
+        at = offsets[c - 1]
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            out.append((at, sizes[si]))
+            at += sizes[si]
+            si += 1
+    if si < n_samples:
+        return None  # chunk map does not cover the sample count
+    return out
+
+
+def frame_sample(payload: bytes, every_n: int = 30) -> list[bytes]:
+    """Every Nth media SAMPLE of an MP4 container, as raw encoded bytes —
+    REAL via pure sample-table parsing (:func:`parse_mp4_samples`), the
+    video half of the PNG/WAV header-parsing precedent. What a codec
+    library would add is pixel DECODE of each returned sample; the
+    container-level frame indexing and byte extraction need none.
+    Samples whose byte range lies beyond the payload (tail-truncated
+    fetch) are skipped deterministically."""
+    samples = parse_mp4_samples(payload)
+    if samples is None:
+        raise NotImplementedError(
+            "frame sampling is implemented for MP4/ISO-BMFF containers via "
+            "pure sample-table parsing; other formats (and pixel decode) "
+            "require pyav/ffmpeg, not present in this environment"
+        )
+    return [
+        payload[o : o + s]
+        for i, (o, s) in enumerate(samples)
+        if i % max(1, every_n) == 0 and o + s <= len(payload)
+    ]
 
 
 def parse_media_meta(payload: bytes, max_chunks: int = MAX_MEDIA_CHUNKS) -> "dict | None":
@@ -578,6 +711,163 @@ def media_meta(
     )
 
 
+def _mp4_box_walk(
+    bin_col: str,
+    start: str,
+    end: str,
+    fourcc_hex: str,
+    max_boxes: int = MAX_MEDIA_CHUNKS,
+) -> str:
+    """SQL expression: 1-based offset of the first child box with the given
+    hex 4cc inside [start, end], or NULL — the generic form of
+    :func:`_mp4_mvhd_walk` (same bounded aggregate-HOF walk, size-below-8
+    stop), reused level by level for moov/trak/mdia/minf/stbl chains."""
+    bsz = _be_sql(bin_col, "acc.pos", 4)
+    btyp = f"upper(hex(substring({bin_col}, acc.pos + 4, 4)))"
+    return f"""
+        case when ({start}) is null then cast(null as int) else
+        aggregate(
+            sequence(1, {max_boxes}),
+            named_struct('pos', cast(({start}) as int), 'hit', cast(null as int)),
+            (acc, i) -> case
+                when acc.hit is not null or acc.pos <= 0
+                     or acc.pos + 7 > ({end})
+                     or acc.pos + 7 > octet_length({bin_col}) then acc
+                when {btyp} = '{fourcc_hex}'
+                    then named_struct('pos', acc.pos, 'hit', cast(acc.pos as int))
+                when {bsz} < 8
+                    then named_struct('pos', cast(-1 as int), 'hit', cast(null as int))
+                else named_struct('pos', cast(acc.pos + {bsz} as int), 'hit', cast(null as int))
+            end,
+            acc -> acc.hit)
+        end
+    """
+
+
+def video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    every_n: int = 2,
+    max_chunks: int = MAX_MEDIA_CHUNKS,
+    max_frames: int = 256,
+) -> DataFrame:
+    """(id, binary) -> one row per SAMPLED FRAME (doc_id, frame_idx,
+    frame_len, frame_bytes): every Nth media sample of an MP4 container,
+    located by pure sample-table parsing as Catalyst built-ins — no Python
+    stage (plan-pinned), no codec. The box chain moov -> trak -> mdia ->
+    minf -> stbl is five bounded child walks (:func:`_mp4_box_walk`); stsz
+    gives sizes (uniform or per-sample table), stco the chunk base, and
+    frame byte ranges fall out as substring slices.
+
+    Catalyst PROFILE: the single-chunk layout (stsc entry_count == 1,
+    stco entry_count == 1, first_chunk == 1 — all samples contiguous from
+    one chunk base), which is how small/faststart MP4s are written; rows
+    outside the profile, above ``max_frames``, or unparseable yield no
+    frames. The pure-Python twin :func:`parse_mp4_samples` implements the
+    GENERAL multi-chunk/co64 form for the mapInPandas decoder seam; the
+    two are pinned equal on profile fixtures (tests/test_operators.py)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(bin_col)
+    blen = F.octet_length(c)
+    is_mp4ish = F.upper(F.hex(F.substring(c, 5, 4))).isin(
+        *[h.strip("'") for h in _MP4_TOP_HEX.split(",")]
+    ) & (blen >= 16)
+
+    out = (
+        df.withColumn(
+            "_moov",
+            F.when(is_mp4ish, F.expr(_mp4_moov_walk(bin_col, max_chunks))),
+        )
+        .withColumn("_moov_end", F.expr(f"_moov + {_be_sql(bin_col, '_moov', 4)} - 1"))
+    )
+    # descend the fixed stbl path; each level's walk is bounded by its
+    # parent box's declared extent
+    chain = (("trak", "7472616B"), ("mdia", "6D646961"), ("minf", "6D696E66"), ("stbl", "7374626C"))
+    parent, parent_end = "_moov", "_moov_end"
+    for name, hexcc in chain:
+        out = out.withColumn(
+            f"_{name}",
+            F.expr(_mp4_box_walk(bin_col, f"{parent} + 8", parent_end, hexcc, max_chunks)),
+        ).withColumn(
+            f"_{name}_end",
+            F.expr(f"_{name} + {_be_sql(bin_col, f'_{name}', 4)} - 1"),
+        )
+        parent, parent_end = f"_{name}", f"_{name}_end"
+    for name, hexcc in (("stsz", "7374737A"), ("stsc", "73747363"), ("stco", "7374636F")):
+        out = out.withColumn(
+            f"_{name}",
+            F.expr(_mp4_box_walk(bin_col, "_stbl + 8", "_stbl_end", hexcc, max_chunks)),
+        )
+
+    n = F.expr(_be_sql(bin_col, "_stsz + 16", 4))
+    uniform = F.expr(_be_sql(bin_col, "_stsz + 12", 4))
+    base = F.expr(_be_sql(bin_col, "_stco + 16", 4))
+    in_profile = (
+        F.col("_stsz").isNotNull()
+        & F.col("_stsc").isNotNull()
+        & F.col("_stco").isNotNull()
+        & (F.expr(_be_sql(bin_col, "_stsc + 12", 4)) == 1)
+        & (F.expr(_be_sql(bin_col, "_stsc + 16", 4)) == 1)
+        & (F.expr(_be_sql(bin_col, "_stco + 12", 4)) == 1)
+        & (n >= 1)
+        & (n <= max_frames)
+    )
+    sz_j = _be_sql(bin_col, "_stsz + 20 + 4*j", 4)
+    # (offset, size) per sample: uniform sizes are a closed form; the
+    # per-sample table folds once into a cumulative-offset array (O(n))
+    frames_sql = f"""
+        case when {_be_sql(bin_col, '_stsz + 12', 4)} > 0 then
+            transform(sequence(0, _n - 1),
+                i -> named_struct(
+                    'o', cast(_base + i * {_be_sql(bin_col, '_stsz + 12', 4)} as bigint),
+                    's', cast({_be_sql(bin_col, '_stsz + 12', 4)} as bigint)))
+        else
+            aggregate(
+                sequence(0, _n - 1),
+                named_struct(
+                    'at', cast(_base as bigint),
+                    'arr', cast(array() as array<struct<o:bigint,s:bigint>>)),
+                (acc, j) -> named_struct(
+                    'at', acc.at + {sz_j},
+                    'arr', concat(acc.arr, array(named_struct('o', acc.at, 's', cast({sz_j} as bigint))))),
+                acc -> acc.arr)
+        end
+    """
+    # EXPLODE the sampled (idx, offset, size) structs in ONE expression
+    # referencing `_frames` exactly once: downstream columns then read the
+    # generator's output attribute. (An `element_at(_frames, _i)` alias
+    # referenced from the filter + substring + md5 would substitute the
+    # whole cumulative-offset aggregate once PER reference during projection
+    # collapse — the optimizer blew up on exactly that form.)
+    out = (
+        out.withColumn("_n", F.when(in_profile, n).cast("int"))
+        .withColumn("_base", base)
+        .withColumn("_frames", F.expr(frames_sql))
+        .withColumn(
+            "_x",
+            F.explode(
+                F.expr(
+                    "filter(transform(_frames, (f, fi) -> "
+                    "named_struct('idx', fi, 'o', f.o, 's', f.s)), "
+                    f"x -> x.idx % {int(every_n)} = 0)"
+                )
+            ),
+        )
+        # stco offsets are 0-based file positions; substring is 1-based.
+        # Samples beyond the payload (tail-truncated fetch) are skipped —
+        # same contract as the Python twin's frame_sample.
+        .filter(F.expr(f"_x.o + _x.s <= octet_length({bin_col})"))
+    )
+    return out.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("_x.idx").cast("int").alias("frame_idx"),
+        F.col("_x.s").cast("long").alias("frame_len"),
+        F.expr(f"substring({bin_col}, _x.o + 1, _x.s)").alias("frame_bytes"),
+    )
+
+
 def extract_binary_metadata(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -592,12 +882,15 @@ def extract_binary_metadata(
     (it is pickled to the executors with the UDF) returning at least
     ``{"modality": ...}`` plus whichever typed metadata fields
     ``extra_schema`` declares (DDL string, e.g. ``"width int, height int"``;
-    missing keys land as null). :func:`decode_image` / :func:`frame_sample`
-    are the intended production kernels — stubs in this container (no
-    image/audio libraries), which is exactly why the seam takes an injected
-    kernel: the Arrow-batched plumbing (pruned input, batch iterator shape,
-    typed metadata contract) is testable end-to-end with a pure-Python fake
-    (tests/test_operators.py) and unchanged when the real decoder arrives.
+    missing keys land as null). :func:`decode_image` / :func:`decode_audio`
+    are the intended production kernels — their header-parsing halves are
+    REAL here (PNG/GIF/JPEG dims, WAV/MP4 metadata, MP4 sample tables via
+    :func:`parse_mp4_samples`); only pixel/PCM decode still needs codec
+    libraries this container lacks, which is exactly why the seam takes an
+    injected kernel: the Arrow-batched plumbing (pruned input, batch
+    iterator shape, typed metadata contract) is testable end-to-end with a
+    pure-Python fake (tests/test_operators.py) and unchanged when a full
+    decoder arrives.
 
     The byte_len/md5/modality work inside is honest per-element Python
     (hashlib has no vectorized kernel) — which is why the hot metadata path
@@ -636,3 +929,48 @@ def extract_binary_metadata(
             )
 
     return pruned.mapInPandas(batches, schema=schema)
+
+
+def sample_frames_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    every_n: int = 30,
+) -> DataFrame:
+    """(id, binary) -> (doc_id, frame_idx, frame_len, frame_bytes) for every
+    Nth MP4 sample — the GENERAL-layout companion of :func:`video_frames`:
+    a mapInPandas stage over :func:`parse_mp4_samples`, so multi-chunk
+    stsc maps and co64 offsets work too (the Catalyst form pins the
+    single-chunk profile). One output row per sampled frame; unparseable
+    payloads yield no rows (never fail the batch). This is the decoder-seam
+    integration point a pixel-decode kernel would extend — the container
+    walk, frame indexing, and byte extraction need no codec."""
+    pruned = df.select(id_col, bin_col)
+    step = max(1, int(every_n))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, blobs = [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                samples = parse_mp4_samples(bytes(b)) if b is not None else None
+                if not samples:
+                    continue
+                for i, (o, s) in enumerate(samples):
+                    if i % step == 0 and o + s <= len(b):
+                        ids.append(did)
+                        idxs.append(i)
+                        lens.append(s)
+                        blobs.append(bytes(b[o : o + s]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_bytes": pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    return pruned.mapInPandas(
+        batches,
+        schema="doc_id long, frame_idx int, frame_len long, frame_bytes binary",
+    )

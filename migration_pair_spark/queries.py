@@ -1110,6 +1110,118 @@ def audio_meta(spark, sf_dir):
 
 
 @q(
+    "video_frame_sample",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(doc_id % 4 + 2 AS BIGINT))) AS i
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 + 3
+                     ELSE (doc_id + 3 * i) % 6 + 2 END AS BIGINT) AS frame_len,
+           repeat(upper(lpad(to_hex((doc_id * 13 + 7 * i) % 256), 2, '0')),
+                  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 + 3
+                            ELSE (doc_id + 3 * i) % 6 + 2 END AS INT)) AS frame_hex
+    FROM f WHERE i % 2 = 0
+    """,
+    "video FRAME SAMPLING by pure MP4 sample-table parsing (no codec): "
+    "moov->trak->mdia->minf->stbl located by five bounded box walks, frame "
+    "byte ranges from stsz (uniform AND per-sample layouts) + stsc + stco, "
+    "every-2nd-sample extraction as substring slices — all Catalyst "
+    "built-ins, no Python stage (plan-pinned). Payloads are synthesized "
+    "deterministically from doc_id with the sample bytes PLANTED in mdat "
+    "(free + udta decoy boxes force the walks), so the oracle recomputes "
+    "the expected frame bytes arithmetically — Spark must actually parse "
+    "the container to match (audio_meta precedent)",
+)
+def video_frame_sample(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def be32h(x):
+        return F.lpad(F.hex(x.cast("long")), 8, "0")
+
+    did = F.col("doc_id")
+    n = did % 4 + 2
+    is_uni = did % 2 == 0
+    # per-sample sizes (odd ids) as a be32 table; sample bytes for ALL ids
+    # as repeats of a doc/index-derived byte — both built with aggregate
+    # HOFs because their length varies per doc
+    sz_case = (
+        "case when doc_id % 2 = 0 then doc_id % 5 + 3 "
+        "else (doc_id + 3*i) % 6 + 2 end"
+    )
+    stsz_tab = F.expr(
+        "aggregate(sequence(0, cast(doc_id % 4 + 1 as int)), '', "
+        "(acc, i) -> concat(acc, lpad(hex((doc_id + 3*i) % 6 + 2), 8, '0')))"
+    )
+    mdat_hex = F.expr(
+        "aggregate(sequence(0, cast(doc_id % 4 + 1 as int)), '', "
+        "(acc, i) -> concat(acc, repeat(lpad(hex((doc_id*13 + 7*i) % 256), 2, '0'), "
+        f"cast({sz_case} as int))))"
+    )
+    sum_sizes = F.expr(
+        "aggregate(sequence(0, cast(doc_id % 4 + 1 as int)), cast(0 as bigint), "
+        f"(acc, i) -> acc + {sz_case})"
+    )
+
+    stsz_size = F.when(is_uni, F.lit(20)).otherwise(20 + 4 * n)
+    stsc_size, stco_size, free_size, mvhd_size = 28, 20, 12, 28
+    stbl_size = 8 + free_size + stsz_size + stsc_size + stco_size
+    minf_size = stbl_size + 8
+    mdia_size = minf_size + 8
+    trak_size = mdia_size + 8
+    has_udta = did % 5 == 0
+    udta_size = F.when(has_udta, F.lit(12)).otherwise(F.lit(0))
+    moov_size = 8 + mvhd_size + udta_size + trak_size
+    data_start = 16 + moov_size + 8  # ftyp + moov + mdat header (0-based)
+
+    mvhd = F.concat(
+        be32h(F.lit(28)), F.lit("6D766864"), F.lit("00" * 12),
+        be32h(F.lit(1000)), be32h(did % 9000 + 1000),
+    )
+    udta = F.concat(be32h(F.lit(12)), F.lit("75647461"), F.lit("00" * 4))
+    free = F.concat(be32h(F.lit(12)), F.lit("66726565"), F.lit("00" * 4))
+    stsz = F.concat(
+        be32h(stsz_size), F.lit("7374737A"), F.lit("00" * 4),
+        be32h(F.when(is_uni, did % 5 + 3).otherwise(F.lit(0))),
+        be32h(n),
+        F.when(is_uni, F.lit("")).otherwise(stsz_tab),
+    )
+    stsc = F.concat(
+        be32h(F.lit(28)), F.lit("73747363"), F.lit("00" * 4),
+        be32h(F.lit(1)), be32h(F.lit(1)), be32h(n), be32h(F.lit(1)),
+    )
+    stco = F.concat(
+        be32h(F.lit(20)), F.lit("7374636F"), F.lit("00" * 4),
+        be32h(F.lit(1)), be32h(data_start),
+    )
+    stbl = F.concat(be32h(stbl_size), F.lit("7374626C"), free, stsz, stsc, stco)
+    minf = F.concat(be32h(minf_size), F.lit("6D696E66"), stbl)
+    mdia = F.concat(be32h(mdia_size), F.lit("6D646961"), minf)
+    trak = F.concat(be32h(trak_size), F.lit("7472616B"), mdia)
+    moov = F.concat(
+        be32h(moov_size), F.lit("6D6F6F76"), mvhd,
+        F.when(has_udta, udta).otherwise(F.lit("")), trak,
+    )
+    mp4 = F.concat(
+        be32h(F.lit(16)), F.lit("66747970"), F.lit("69736F6D"), F.lit("00000000"),
+        moov,
+        be32h(sum_sizes + 8), F.lit("6D646174"), mdat_hex,
+    )
+    frames = multimodal.video_frames(
+        d.withColumn("payload", F.unhex(mp4)), every_n=2
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_len",
+        F.upper(F.hex("frame_bytes")).alias("frame_hex"),
+    )
+
+
+@q(
     "range_join_click_purchase",
     """
     SELECT p.user_id, p.event_id AS l_event_id, p.ts AS l_ts,

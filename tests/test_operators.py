@@ -286,13 +286,18 @@ def test_multimodal_injected_decoder_end_to_end(spark):
     assert {r.modality for r in base.collect()} == {"binary", None}
 
 
-def test_multimodal_stubs_raise_clearly():
+def test_multimodal_remaining_stubs_raise_clearly():
+    """Only the genuinely codec-bound paths still raise: pixel decode of a
+    header-unparseable image, and frame sampling of a non-ISO-BMFF payload
+    (MP4 frame extraction itself is real — test_mp4_frame_sampling)."""
     from migration_pair_spark.operators.multimodal import decode_image, frame_sample
 
     with pytest.raises(NotImplementedError, match="image decode requires"):
         decode_image(b"\x89PNG...")
-    with pytest.raises(NotImplementedError, match="frame sampling requires"):
-        frame_sample(b"\x00\x00\x00 ftypmp42")
+    with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
+        frame_sample(b"RIFF\x00\x00\x00\x00AVI LIST")  # not ISO-BMFF
+    with pytest.raises(NotImplementedError, match="pyav/ffmpeg"):
+        frame_sample(b"\x00\x00\x00 ftypmp42" + b"\x00" * 8)  # no moov
 
 
 def test_ivf_recall_vs_brute_force(spark):
@@ -648,3 +653,170 @@ def test_parse_image_dims_truncated_headers_return_none(spark):
     df = spark.createDataFrame([(1, png_prefix)], "doc_id long, payload binary")
     row = multimodal.image_dims(df).collect()[0]
     assert (row.fmt, row.width, row.height) == (None, None, None)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample tables: real frame sampling without a codec (round-5; extends
+# the WAV/mvhd precedent of test_media_meta_header_parsing)
+# ---------------------------------------------------------------------------
+
+def _box(cc: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + cc + payload
+
+
+def _fullbox(cc: bytes, payload: bytes, ver: int = 0) -> bytes:
+    return _box(cc, bytes([ver]) + b"\x00\x00\x00" + payload)
+
+
+def _mp4_with_samples(
+    samples: "list[bytes]",
+    uniform: bool = False,
+    decoy: bool = True,
+    chunks: "list[int] | None" = None,
+    co64: bool = False,
+) -> bytes:
+    """Minimal-but-valid ISO-BMFF file whose stbl indexes ``samples`` in
+    mdat. ``chunks`` splits them into multiple chunks (stsc runs);
+    ``co64`` uses 64-bit chunk offsets; ``decoy`` plants free/udta boxes
+    the walks must hop over."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4)
+    if uniform:
+        stsz = _fullbox(b"stsz", struct.pack(">II", len(samples[0]), len(samples)))
+    else:
+        stsz = _fullbox(
+            b"stsz",
+            struct.pack(">II", 0, len(samples))
+            + b"".join(struct.pack(">I", len(s)) for s in samples),
+        )
+    chunk_counts = chunks or [len(samples)]
+    runs, prev = [], None
+    for ci, cnt in enumerate(chunk_counts):
+        if cnt != prev:
+            runs.append((ci + 1, cnt))
+            prev = cnt
+    stsc = _fullbox(
+        b"stsc",
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", f, c, 1) for f, c in runs),
+    )
+    mvhd = _fullbox(b"mvhd", b"\x00" * 8 + struct.pack(">II", 1000, 5000))
+    cbox_cc = b"co64" if co64 else b"stco"
+    entry = ">Q" if co64 else ">I"
+    stco_stub = _fullbox(
+        cbox_cc,
+        struct.pack(">I", len(chunk_counts))
+        + b"\x00" * ((8 if co64 else 4) * len(chunk_counts)),
+    )
+    free = _box(b"free", b"\x00" * 4) if decoy else b""
+    stbl = _box(b"stbl", free + stsz + stsc + stco_stub)
+    trak = _box(b"trak", _box(b"mdia", _box(b"minf", stbl)))
+    udta = _box(b"udta", b"\x00" * 4) if decoy else b""
+    moov = _box(b"moov", mvhd + udta + trak)
+    data_start = len(ftyp) + len(moov) + 8
+    offs, pos, si = [], data_start, 0
+    for cnt in chunk_counts:
+        offs.append(pos)
+        for _ in range(cnt):
+            pos += len(samples[si])
+            si += 1
+    stco = _fullbox(
+        cbox_cc,
+        struct.pack(">I", len(chunk_counts))
+        + b"".join(struct.pack(entry, o) for o in offs),
+    )
+    moov = moov.replace(stco_stub, stco)
+    return ftyp + moov + _box(b"mdat", b"".join(samples))
+
+
+_SAMPLES = [b"ABCD", b"EFGHI", b"JK", b"LMNOPQ"]
+
+
+def test_mp4_sample_table_parsing_general_layouts():
+    """parse_mp4_samples reads stsz (uniform + per-sample), stsc runs, and
+    stco/co64 — including multi-chunk layouts where contiguous-from-one-
+    base arithmetic would be wrong."""
+    p = _mp4_with_samples(_SAMPLES)
+    base = p.index(b"ABCD")
+    assert multimodal.parse_mp4_samples(p) == [
+        (base, 4), (base + 4, 5), (base + 9, 2), (base + 11, 6)
+    ]
+    # uniform stsz (sample_size != 0, no table)
+    pu = _mp4_with_samples([b"XXXX", b"YYYY", b"ZZZZ"], uniform=True)
+    assert [s for _, s in multimodal.parse_mp4_samples(pu)] == [4, 4, 4]
+    # multi-chunk: chunks of 2/1/1 samples — offsets restart per chunk
+    pm = _mp4_with_samples(_SAMPLES, chunks=[2, 1, 1])
+    got = multimodal.parse_mp4_samples(pm)
+    assert [pm[o : o + s] for o, s in got] == _SAMPLES
+    # co64 64-bit offsets
+    pc = _mp4_with_samples(_SAMPLES, co64=True)
+    got = multimodal.parse_mp4_samples(pc)
+    assert [pc[o : o + s] for o, s in got] == _SAMPLES
+
+
+def test_mp4_frame_sampling():
+    """frame_sample returns every Nth sample's raw bytes; samples whose
+    range exceeds a tail-truncated payload are skipped, not errors."""
+    p = _mp4_with_samples(_SAMPLES)
+    assert multimodal.frame_sample(p, every_n=2) == [b"ABCD", b"JK"]
+    assert multimodal.frame_sample(p, every_n=1) == _SAMPLES
+    # cut the last sample's tail off: its frame drops, others survive
+    assert multimodal.frame_sample(p[:-3], every_n=1) == _SAMPLES[:-1]
+
+
+def test_mp4_sample_parsing_truncation_safe():
+    p = _mp4_with_samples(_SAMPLES)
+    for cut in range(len(p)):
+        multimodal.parse_mp4_samples(p[:cut])  # must never raise
+    assert multimodal.parse_mp4_samples(None) is None
+    assert multimodal.parse_mp4_samples(b"") is None
+
+
+def test_video_frames_catalyst_matches_python_twin(spark):
+    """The Catalyst sample walk (video_frames) agrees byte-for-byte with
+    the pure-Python twin on single-chunk profile fixtures (both stsz
+    layouts, decoy boxes present and absent); out-of-profile and
+    unparseable payloads yield no rows instead of failing."""
+    fixtures = {
+        1: _mp4_with_samples(_SAMPLES),
+        2: _mp4_with_samples([b"XXXX", b"YYYY", b"ZZZZ"], uniform=True),
+        3: _mp4_with_samples(_SAMPLES, decoy=False),
+        4: _mp4_with_samples(_SAMPLES, chunks=[2, 1, 1]),  # out of profile
+        5: b"not a container at all --------",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in fixtures.items()],
+        "doc_id long, payload binary",
+    )
+    got = {
+        (r.doc_id, r.frame_idx): bytes(r.frame_bytes)
+        for r in multimodal.video_frames(df, every_n=2).collect()
+    }
+    expected = {}
+    for did in (1, 2, 3):
+        frames = multimodal.frame_sample(fixtures[did], every_n=2)
+        for i, fb in zip(range(0, 100, 2), frames):
+            expected[(did, i)] = fb
+    assert got == expected
+
+
+def test_sample_frames_table_general_path(spark):
+    """The mapInPandas seam handles what the Catalyst profile can't —
+    multi-chunk stsc and co64 — one row per sampled frame."""
+    fixtures = [
+        (1, _mp4_with_samples(_SAMPLES, chunks=[2, 1, 1])),
+        (2, _mp4_with_samples(_SAMPLES, co64=True)),
+        (3, b"unparseable"),
+    ]
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in fixtures],
+        "doc_id long, payload binary",
+    )
+    rows = multimodal.sample_frames_table(df, every_n=1).collect()
+    got = {(r.doc_id, r.frame_idx): bytes(r.frame_bytes) for r in rows}
+    assert got == {
+        (did, i): s for did in (1, 2) for i, s in enumerate(_SAMPLES)
+    }

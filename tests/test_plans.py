@@ -130,6 +130,15 @@ def test_audio_meta_has_no_python_stage(spark):
         assert marker not in plan
 
 
+def test_video_frame_sample_no_python_stage(spark):
+    """MP4 frame extraction (five box walks + stsz/stsc/stco + substring
+    slices) is all Catalyst built-ins; the mapInPandas form exists only for
+    the general multi-chunk layout (sample_frames_table)."""
+    plan = plan_of(REGISTRY["video_frame_sample"].fn(spark, SF), "simple")
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "PythonMapInArrow"):
+        assert marker not in plan
+
+
 def test_jaccard_verify_broadcasts_survive_to_joins(spark):
     """VERDICT r1 #7: the broadcast hints in jaccard_verify must reach their
     joins (a hint placed before union/distinct is silently stripped)."""
