@@ -62,6 +62,7 @@ HEADLINE_QUERIES = [
     "tfidf_top_terms",
     "multimodal_dims",
     "audio_meta",
+    "video_frame_sample",
     "neardup_doc_clusters",
     "incremental_dedup_docs",
     "incremental_embedding_neardup",
