@@ -70,7 +70,7 @@ Semantic contract (pinned by the two-sequential-runs == one-batch-run test):
   tests/test_properties.py), updated atomically WITH the data commit.
   Monotone contiguous ingest keeps the property at ONE interval forever —
   O(active-pending) manifest state, not O(batch history) (pinned by the
-  200-micro-batch test in tests/test_dedup_stream.py). A crash between the
+  60-micro-batch long-run test in tests/test_dedup_stream.py). A crash between the
   corpus append and the index append leaves the two interval sets
   differing; the difference IS the pending work, and any later ingest (or
   a retry of the same batch) heals it by re-signing exactly those id
@@ -90,6 +90,7 @@ from pyspark.sql import types as T
 
 from migration_pair_spark.cdc.apply import (
     _aqe_disabled,
+    covered_expr,
     merge_ranges,
     subtract_ranges,
 )
@@ -122,23 +123,45 @@ def _with_system(df: DataFrame, bucket: F.Column) -> DataFrame:
     )
 
 
-def applied_ranges(table: LakeTable) -> list[tuple[int, int]]:
-    """The committed applied doc-id intervals of a dedup table."""
-    return [
-        (int(lo), int(hi))
-        for lo, hi in json.loads(table.properties.get(APPLIED_PROP, "[]"))
-    ]
+def applied_ranges(
+    table: LakeTable, range_source: "LakeTable | None" = None
+) -> list[tuple[int, int]]:
+    """The committed applied doc-id intervals of a dedup table.
+
+    LEGACY FALLBACK (review-caught): tables written by the round-4 gate
+    carry a ``dedup.batches`` id list plus per-batch ``dedup.batch.{id}``
+    = [lo, hi] properties instead of the interval set — and the INDEX
+    table's ranges live on its corpus/vectors sibling (``range_source``).
+    Loading such a table with an empty applied set would silently disable
+    the exactly-once and monotone gates (a replayed batch would re-commit
+    duplicate rows forever), so the legacy layout is reconstructed — or
+    refused loudly when its range properties are gone."""
+    p = table.properties
+    if APPLIED_PROP in p:
+        return [
+            (int(lo), int(hi)) for lo, hi in json.loads(p[APPLIED_PROP])
+        ]
+    legacy = p.get("dedup.batches")
+    if legacy is None:
+        return []
+    src = (range_source or table).properties
+    ranges = []
+    for bid in json.loads(legacy):
+        r = src.get(f"dedup.batch.{bid}")
+        if r is None:
+            raise ValueError(
+                f"table {table.path} uses the legacy dedup batch gate but "
+                f"range property dedup.batch.{bid} is missing — cannot "
+                "reconstruct the applied intervals; re-create the deduper "
+                "or restore the sibling table's properties"
+            )
+        lo, hi = json.loads(r)
+        ranges.append((int(lo), int(hi)))
+    return merge_ranges(ranges)
 
 
 def _covered(lo: int, hi: int, ranges: list[tuple[int, int]]) -> bool:
     return not subtract_ranges([(lo, hi)], ranges)
-
-
-def _ranges_filter(col: str, ranges: list[tuple[int, int]]) -> F.Column:
-    e = F.lit(False)
-    for lo, hi in ranges:
-        e = e | F.col(col).between(int(lo), int(hi))
-    return e
 
 
 def _cap_hot_buckets(
@@ -165,15 +188,22 @@ class _UnionFind:
         self.seen_max = seen_max
 
     def find(self, x: int) -> int:
-        p = self.parent.setdefault(x, x)
-        if p != x:
-            p = self.parent[x] = self.find(p)
+        # iterative root-chase + path compression: chain-shaped duplicate
+        # clusters (sliding/templated text) build parent chains as deep as
+        # the cluster, and a recursive find blows Python's ~1000-frame
+        # recursion limit well inside the 500k-edge driver-path cap
+        # (review-caught with a 3000-doc chain repro)
+        root = x
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        p = x
+        while p != root:
+            self.parent[p], p = root, self.parent[p]
         if x <= self.seen_max:
-            r = p
-            s = self.seen_of.get(r)
+            s = self.seen_of.get(root)
             if s is None or x < s:
-                self.seen_of[r] = min(x, s) if s is not None else x
-        return p
+                self.seen_of[root] = x
+        return root
 
     def union(self, a: int, b: int) -> None:
         ra, rb = self.find(a), self.find(b)
@@ -269,7 +299,7 @@ class IncrementalDeduper:
         """Doc-id intervals committed to the corpus but not the index — the
         exact recovery work a crash between the two commits leaves behind."""
         return subtract_ranges(
-            applied_ranges(self.corpus), applied_ranges(self.index)
+            applied_ranges(self.corpus), applied_ranges(self.index, self.corpus)
         )
 
     def _band_rows(self, sig: DataFrame) -> DataFrame:
@@ -294,17 +324,25 @@ class IncrementalDeduper:
         )
         return sorted(int(r["b"]) for r in rows)
 
-    def _probe_index(self, bands_new: DataFrame) -> tuple[DataFrame, list[int]]:
+    def _probe_index(
+        self, bands_new: DataFrame, keep=lambda df: df
+    ) -> tuple[DataFrame, list[int]]:
         """Bucket-pruned index scan joined to the new band rows: candidate
         (seen_doc, new_doc) id pairs. The index side reads ONLY the probe
         buckets' files (new x index — the index never self-joins), and
-        over-cap buckets contribute only their exemplar (module docstring)."""
+        over-cap buckets contribute only their exemplar (module docstring).
+        ``keep`` persists the pruned scan: the hot-bucket cap consumes it
+        twice (per-bucket aggregate + join back), and without the cache
+        each consumer would re-read the probe buckets' files
+        (review-caught)."""
         lake_buckets = self.probe_lake_buckets(bands_new)
         idx = (
             self.index.read_buckets(lake_buckets)
             .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
             .select("bucket_key", F.col("doc_id").alias("seen_doc_id"))
         )
+        if self.max_bucket:
+            idx = keep(idx)
         idx = _cap_hot_buckets(idx, "bucket_key", "seen_doc_id", self.max_bucket)
         cand = (
             bands_new.select("bucket_key", F.col("doc_id").alias("new_doc_id"))
@@ -445,7 +483,7 @@ class IncrementalDeduper:
                 "would commit duplicate corpus rows under the exactly-once gate"
             )
         corpus_applied = applied_ranges(self.corpus)
-        index_applied = applied_ranges(self.index)
+        index_applied = applied_ranges(self.index, self.corpus)
         # -- replay / heal gate: the applied-interval sets decide
         if _covered(lo, hi, corpus_applied):
             if _covered(lo, hi, index_applied):
@@ -470,7 +508,6 @@ class IncrementalDeduper:
         pending = subtract_ranges(corpus_applied, index_applied)
         if pending:
             self._heal_index(pending)
-            index_applied = applied_ranges(self.index)
         # The committed interval extends DOWN to the watermark: the monotone
         # gate guarantees ids in (seen_max, lo) can never legitimately
         # arrive later, so absorbing the gap keeps the applied set at
@@ -535,7 +572,7 @@ class IncrementalDeduper:
             )
             index_has_rows = any(self.index.manifest["buckets"].values())
             if index_has_rows:
-                cand_idx, probe_buckets = self._probe_index(bands_new)
+                cand_idx, probe_buckets = self._probe_index(bands_new, keep)
                 cand_idx = keep(cand_idx)
                 candidates = keep(
                     cand_idx.select("doc_a", "doc_b")
@@ -643,7 +680,7 @@ class IncrementalDeduper:
             rows,
             properties={
                 APPLIED_PROP: json.dumps(
-                    merge_ranges(applied_ranges(self.index) + [tuple(rng)])
+                    merge_ranges(applied_ranges(self.index, self.corpus) + [tuple(rng)])
                 )
             },
             lineage={"dedup_ingest": batch_id, "n_docs": n_docs},
@@ -656,7 +693,7 @@ class IncrementalDeduper:
         pays one scan; the hot path never does."""
         batch_docs = (
             self.corpus.read()
-            .filter(_ranges_filter("doc_id", ranges))
+            .filter(covered_expr(F.col("doc_id"), ranges))
             .select("doc_id", "text")
         )
         sig = dd.minhash_signatures(batch_docs)
@@ -671,7 +708,7 @@ class IncrementalDeduper:
                 rows,
                 properties={
                     APPLIED_PROP: json.dumps(
-                        merge_ranges(applied_ranges(self.index) + list(ranges))
+                        merge_ranges(applied_ranges(self.index, self.corpus) + list(ranges))
                     )
                 },
                 lineage={"dedup_heal": json.dumps(list(ranges)), "n_docs": n},
@@ -818,19 +855,25 @@ class IncrementalEmbeddingIndex:
         )
         return sorted(int(r["b"]) for r in ids)
 
-    def _candidates(self, new_emb: DataFrame, bucket_rows: DataFrame):
+    def _candidates(
+        self, new_emb: DataFrame, bucket_rows: DataFrame, keep=lambda df: df
+    ):
         """(vec_a, vec_b, seen ids) candidate pairs: bucket-pruned index
         probe (new x seen, hot-bucket capped) + SRP self-join within the
         batch (new x new, same cap). The self-join reuses the PERSISTED
         ``bucket_rows`` — bucket_key = "table|bucket" is injective over
         (_t, _bucket) for fixed-width signatures, so joining on it is the
-        same banding, without re-running the Arrow matmul a second time."""
+        same banding, without re-running the Arrow matmul a second time.
+        ``keep`` persists the pruned index scan across the cap's two
+        consumers — see IncrementalDeduper._probe_index."""
         lake_buckets = self.probe_lake_buckets(bucket_rows)
         idx = (
             self.index.read_buckets(lake_buckets)
             .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
             .select("bucket_key", F.col("doc_id").alias("seen_id"))
         )
+        if self.max_bucket:
+            idx = keep(idx)
         idx = _cap_hot_buckets(idx, "bucket_key", "seen_id", self.max_bucket)
         vs_seen = (
             bucket_rows.select("bucket_key", F.col("doc_id").alias("new_id"))
@@ -887,7 +930,7 @@ class IncrementalEmbeddingIndex:
                 f"({n_new - int(stats['nd'])} duplicated)"
             )
         vec_applied = applied_ranges(self.vectors)
-        idx_applied = applied_ranges(self.index)
+        idx_applied = applied_ranges(self.index, self.vectors)
         if _covered(lo, hi, vec_applied):
             if _covered(lo, hi, idx_applied):
                 return {"replayed": True, "pairs": None}
@@ -904,7 +947,6 @@ class IncrementalEmbeddingIndex:
         pending = subtract_ranges(vec_applied, idx_applied)
         if pending:
             self._heal_index(pending)
-            idx_applied = applied_ranges(self.index)
         # gap-absorbing interval — see IncrementalDeduper.ingest
         rng = (seen_max + 1 if vec_applied else lo, hi)
 
@@ -933,7 +975,7 @@ class IncrementalEmbeddingIndex:
             # has nothing to probe and no candidate vectors to fetch
             if any(self.index.manifest["buckets"].values()):
                 vs_seen, vs_new, probe_buckets = self._candidates(
-                    new_emb, bucket_rows
+                    new_emb, bucket_rows, keep
                 )
                 vs_seen = keep(vs_seen)
                 candidates = (
@@ -1008,7 +1050,7 @@ class IncrementalEmbeddingIndex:
             ),
             properties={
                 APPLIED_PROP: json.dumps(
-                    merge_ranges(applied_ranges(self.index) + [tuple(rng)])
+                    merge_ranges(applied_ranges(self.index, self.vectors) + [tuple(rng)])
                 )
             },
             lineage={"emb_ingest": batch_id, "n_vecs": n},
@@ -1017,7 +1059,7 @@ class IncrementalEmbeddingIndex:
     def _heal_index(self, ranges: list[tuple[int, int]]) -> None:
         batch = (
             self.vectors.read()
-            .filter(_ranges_filter("vec_id", ranges))
+            .filter(covered_expr(F.col("vec_id"), ranges))
             .select("vec_id", "embedding")
         )
         rows = self._bucket_rows(batch).persist()
@@ -1030,7 +1072,7 @@ class IncrementalEmbeddingIndex:
                 ),
                 properties={
                     APPLIED_PROP: json.dumps(
-                        merge_ranges(applied_ranges(self.index) + list(ranges))
+                        merge_ranges(applied_ranges(self.index, self.vectors) + list(ranges))
                     )
                 },
                 lineage={"emb_heal": json.dumps(list(ranges)), "n_vecs": n},

@@ -548,7 +548,7 @@ def _wav_chunk_walk(bin_col: str, max_chunks: int = MAX_MEDIA_CHUNKS) -> str:
     ``fmt `` harmless."""
     sz = _le_sql(bin_col, "acc.pos + 4", 4)
     cid = f"upper(hex(substring({bin_col}, acc.pos, 4)))"
-    nxt = f"cast(acc.pos + 8 + {sz} + ({sz} % 2) as int)"
+    nxt = f"cast(least(acc.pos + 8 + {sz} + ({sz} % 2), 2147480000) as int)"
     return f"""
         aggregate(
             sequence(1, {max_chunks}),
@@ -583,7 +583,7 @@ def _mp4_moov_walk(bin_col: str, max_boxes: int = MAX_MEDIA_CHUNKS) -> str:
                     then named_struct('pos', acc.pos, 'moov', cast(acc.pos as int))
                 when {bsz} < 8
                     then named_struct('pos', cast(-1 as int), 'moov', cast(null as int))
-                else named_struct('pos', cast(acc.pos + {bsz} as int), 'moov', cast(null as int))
+                else named_struct('pos', cast(least(acc.pos + {bsz}, 2147480000) as int), 'moov', cast(null as int))
             end,
             acc -> acc.moov)
     """
@@ -608,7 +608,7 @@ def _mp4_mvhd_walk(bin_col: str, max_boxes: int = MAX_MEDIA_CHUNKS) -> str:
                     then named_struct('pos', acc.pos, 'mvhd', cast(acc.pos as int))
                 when {bsz} < 8
                     then named_struct('pos', cast(-1 as int), 'mvhd', cast(null as int))
-                else named_struct('pos', cast(acc.pos + {bsz} as int), 'mvhd', cast(null as int))
+                else named_struct('pos', cast(least(acc.pos + {bsz}, 2147480000) as int), 'mvhd', cast(null as int))
             end,
             acc -> acc.mvhd)
         end
@@ -737,7 +737,7 @@ def _mp4_box_walk(
                     then named_struct('pos', acc.pos, 'hit', cast(acc.pos as int))
                 when {bsz} < 8
                     then named_struct('pos', cast(-1 as int), 'hit', cast(null as int))
-                else named_struct('pos', cast(acc.pos + {bsz} as int), 'hit', cast(null as int))
+                else named_struct('pos', cast(least(acc.pos + {bsz}, 2147480000) as int), 'hit', cast(null as int))
             end,
             acc -> acc.hit)
         end
@@ -802,14 +802,18 @@ def video_frames(
         )
 
     n = F.expr(_be_sql(bin_col, "_stsz + 16", 4))
-    uniform = F.expr(_be_sql(bin_col, "_stsz + 12", 4))
     base = F.expr(_be_sql(bin_col, "_stco + 16", 4))
+    # profile gate: ONE stsc run mapping chunk 1, ONE stco chunk, and —
+    # review-caught — that run's samples_per_chunk must cover the whole
+    # sample count, or the contiguity assumption would slice garbage bytes
+    # where the Python twin correctly returns None
     in_profile = (
         F.col("_stsz").isNotNull()
         & F.col("_stsc").isNotNull()
         & F.col("_stco").isNotNull()
         & (F.expr(_be_sql(bin_col, "_stsc + 12", 4)) == 1)
         & (F.expr(_be_sql(bin_col, "_stsc + 16", 4)) == 1)
+        & (F.expr(_be_sql(bin_col, "_stsc + 20", 4)) >= n)
         & (F.expr(_be_sql(bin_col, "_stco + 12", 4)) == 1)
         & (n >= 1)
         & (n <= max_frames)
@@ -851,7 +855,9 @@ def video_frames(
                 F.expr(
                     "filter(transform(_frames, (f, fi) -> "
                     "named_struct('idx', fi, 'o', f.o, 's', f.s)), "
-                    f"x -> x.idx % {int(every_n)} = 0)"
+                    # max(1, ·) mirrors the Python twin; a literal 0 would
+                    # be a REMAINDER_BY_ZERO job failure under ANSI mode
+                    f"x -> x.idx % {max(1, int(every_n))} = 0)"
                 )
             ),
         )

@@ -820,3 +820,65 @@ def test_sample_frames_table_general_path(spark):
     assert got == {
         (did, i): s for did in (1, 2) for i, s in enumerate(_SAMPLES)
     }
+
+
+def test_media_walks_survive_adversarial_sizes(spark):
+    """Review-caught ANSI crash: a declared u32 chunk/box size near 2^32
+    made the walk's next-pos int cast overflow and FAIL THE JOB under
+    Spark's default ANSI mode; the walks must instead treat the payload as
+    unparseable (all-NULL row), like the Python twin."""
+    import struct
+
+    evil_wav = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 0xFFFFFFFF) + b"\x00" * 8
+    )
+    evil_mp4 = struct.pack(">I", 0xF0000000) + b"ftyp" + b"\x00" * 24
+    df = spark.createDataFrame(
+        [(1, bytearray(evil_wav)), (2, bytearray(evil_mp4))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r.fmt for r in multimodal.media_meta(df).collect()}
+    assert rows == {1: None, 2: None}
+    assert multimodal.parse_media_meta(evil_wav) is None
+    assert multimodal.parse_media_meta(evil_mp4) is None
+    # and the frame extractor's walks share the fix
+    assert multimodal.video_frames(df).count() == 0
+
+
+def test_union_find_deep_chain_no_recursion():
+    """Review-caught RecursionError: chain-shaped duplicate clusters built
+    an N-deep parent chain and the recursive find() blew the ~1000-frame
+    limit well inside the 500k-edge driver-path cap."""
+    from migration_pair_spark.operators.incremental import _UnionFind
+
+    n = 5000
+    uf = _UnionFind(seen_max=-1)
+    for i in range(n - 2, -1, -1):  # descending unions -> deepest chains
+        uf.union(i, i + 1)
+    assert uf.find(n - 1) == 0
+
+
+def test_video_frames_rejects_uncovering_stsc(spark):
+    """Review-caught twin divergence: an stsc whose single run's
+    samples_per_chunk doesn't cover the sample count must yield NO frames
+    (the Python twin returns None) — not garbage bytes from the
+    contiguity assumption."""
+    import struct
+
+    p = bytearray(_mp4_with_samples(_SAMPLES))
+    at = bytes(p).index(b"stsc")
+    # entry (first_chunk=1, samples_per_chunk=len-2): leaves 2 samples unmapped
+    p[at + 12 : at + 16] = struct.pack(">I", len(_SAMPLES) - 2)
+    assert multimodal.parse_mp4_samples(bytes(p)) is None
+    df = spark.createDataFrame([(1, p)], "doc_id long, payload binary")
+    assert multimodal.video_frames(df, every_n=1).count() == 0
+
+
+def test_video_frames_every_n_zero_means_every_frame(spark):
+    """every_n=0 coerces to 1 in BOTH twins (a literal modulo-zero would be
+    an ANSI job failure in the Catalyst form)."""
+    p = _mp4_with_samples(_SAMPLES)
+    assert multimodal.frame_sample(p, every_n=0) == _SAMPLES
+    df = spark.createDataFrame([(1, bytearray(p))], "doc_id long, payload binary")
+    assert multimodal.video_frames(df, every_n=0).count() == len(_SAMPLES)
