@@ -64,6 +64,7 @@ HEADLINE_QUERIES = [
     "audio_meta",
     "video_frame_sample",
     "neardup_doc_clusters",
+    "chunk_dedup_docs",
     "incremental_dedup_docs",
     "incremental_embedding_neardup",
 ]

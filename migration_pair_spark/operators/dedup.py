@@ -447,3 +447,124 @@ def simhash_oracle_sql(table: str = "documents", text_col: str = "text", id_col:
         )
         SELECT {id_col}, CAST({terms} AS BIGINT) AS simhash FROM agg
     """
+
+
+CHUNK_W = 8
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = CHUNK_W,
+) -> DataFrame:
+    """Chunk-level exact dedup (CCNet / RefinedWeb paragraph dedup, adapted
+    to word-window chunks): split each doc into consecutive non-overlapping
+    ``w``-word chunks, keep only the corpus-wide FIRST occurrence of each
+    distinct chunk (ordered by ``(doc_id, chunk_pos)``), and reassemble the
+    surviving chunks into a deduplicated text. Later repeats *within* the
+    same doc are dropped too (the keeper rule is global). Returns one row
+    per input doc: ``(doc_id, n_chunks, n_kept, deduped_text)`` — a doc
+    whose every chunk appeared earlier collapses to ``deduped_text = ''``.
+
+    This is the sub-document complement of :func:`exact_dedup` (whole-doc)
+    and the LSH family (whole-doc near-dup): web corpora share boilerplate
+    *spans* (headers, footers, licence blocks) across otherwise-distinct
+    pages, and span-level dedup is what removes them.
+
+    Scale shape (100 TB corpus):
+    - chunking is a NARROW map (split + transform over a sequence — the
+      chunk array is built per doc with zero cross-row state);
+    - posexplode emits ~n_words/w rows; the keeper choice is ONE partially
+      aggregated shuffle on md5(chunk) (map-side ``min`` combine, so the
+      shuffle carries one row per distinct chunk per map partition).
+      ``(doc_id, cpos)`` is packed into a single BIGINT for the ``min`` —
+      a struct-typed ``min`` buffer is not hash-aggregable and silently
+      demotes the whole stage to SortAggregate + per-partition Sort of
+      every exploded row (observed in the executed plan); the packed form
+      keeps it a HashAggregate. Bounds: ``doc_id < 2^42`` and
+      ``cpos < 2^21`` (= 2M chunks = 16M words per doc), both checked
+      nowhere but documented here — violating either breaks keeper order;
+    - the keep/drop decision joins the exploded rows back on the same
+      md5(chunk) key — co-partitioned with the aggregate output, and the
+      keeper side is DISTINCT chunks (bounded by corpus vocabulary of
+      spans, far smaller than the exploded side);
+    - reassembly is one groupBy(doc_id) whose per-group state is bounded
+      by a single document's size (collect_list -> ObjectHashAggregate).
+    A window ``row_number() over (partition by chunk)`` would do it in one
+    shuffle but pays a full sort of every exploded row; the agg+join form
+    keeps both shuffles partial-aggregated/co-partitioned and sort-free.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(w)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.array_join(F.slice(words, i * w + F.lit(1), F.lit(w)), " "),
+    )
+    pack = (F.col(id_col) * F.lit(1 << 21) + F.col("cpos")).cast("long")
+    exploded = docs.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("cpos", "chunk")
+    ).withColumn("occ", pack)
+    keepers = exploded.groupBy(F.md5(F.col("chunk")).alias("ck")).agg(
+        F.min("occ").alias("first_occ")
+    )
+    flagged = exploded.join(keepers, F.md5(exploded["chunk"]) == keepers["ck"]).select(
+        F.col(id_col),
+        F.col("cpos"),
+        F.col("chunk"),
+        (F.col("occ") == F.col("first_occ")).alias("is_first"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_first").cast("int")).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.sort_array(
+                        F.collect_list(F.struct("cpos", "is_first", "chunk"))
+                    ),
+                    lambda s: s["is_first"],
+                ),
+                lambda s: s["chunk"],
+            ),
+        ).alias("deduped_text"),
+    )
+
+
+def chunk_dedup_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = CHUNK_W,
+) -> str:
+    """DuckDB twin of :func:`chunk_dedup` (kept adjacent for lockstep
+    evolution). Same chunking (1-based word positions grouped ``w`` at a
+    time), same keeper rule (min ``(doc_id, cpos)`` per distinct chunk —
+    expressed as ``row_number() = 1``), same reassembly order."""
+    return f"""
+        WITH words AS (
+            SELECT {id_col},
+                   unnest(string_split({text_col}, ' ')) AS word,
+                   generate_subscripts(string_split({text_col}, ' '), 1) AS pos
+            FROM {table}
+        ), chunks AS (
+            SELECT {id_col}, CAST((pos - 1) // {w} AS BIGINT) AS cpos,
+                   string_agg(word, ' ' ORDER BY pos) AS chunk
+            FROM words GROUP BY {id_col}, (pos - 1) // {w}
+        ), ranked AS (
+            SELECT {id_col}, cpos, chunk,
+                   row_number() OVER (
+                       PARTITION BY chunk ORDER BY {id_col}, cpos
+                   ) AS rn
+            FROM chunks
+        )
+        SELECT {id_col},
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+               coalesce(
+                   string_agg(chunk, ' ' ORDER BY cpos) FILTER (WHERE rn = 1),
+                   ''
+               ) AS deduped_text
+        FROM ranked GROUP BY {id_col}
+    """

@@ -599,6 +599,16 @@ def dedup_exact_docs(spark, sf_dir):
 
 
 @q(
+    "chunk_dedup_docs",
+    dd.chunk_dedup_oracle_sql(),
+    "CCNet-style sub-document dedup: corpus-wide first-occurrence keep of "
+    "8-word chunks with text reassembly",
+)
+def chunk_dedup_docs(spark, sf_dir):
+    return dd.chunk_dedup(_spread(spark, t(spark, sf_dir, "documents"), "doc_id"))
+
+
+@q(
     "doc_fingerprint",
     "SELECT doc_id, md5(text) AS fp, length(text) AS n_chars_c FROM documents",
     "document fingerprinting",

@@ -882,3 +882,65 @@ def test_video_frames_every_n_zero_means_every_frame(spark):
     assert multimodal.frame_sample(p, every_n=0) == _SAMPLES
     df = spark.createDataFrame([(1, bytearray(p))], "doc_id long, payload binary")
     assert multimodal.video_frames(df, every_n=0).count() == len(_SAMPLES)
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup (CCNet-style sub-document spans)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_dedup_keep_first_semantics(spark):
+    rows = [
+        (0, "a b c d e f"),        # chunks (w=3): "a b c", "d e f" — both first
+        (1, "a b c x y z"),        # "a b c" is a repeat of doc 0's span
+        (2, "p q r p q r"),        # within-doc repeat: second "p q r" drops
+        (3, "a b c"),              # every chunk seen before -> fully deduped
+        (4, "m n o t"),            # short tail chunk "t" is its own span
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dd.chunk_dedup(docs, w=3).collect()}
+
+    assert len(out) == 5  # one row per input doc, even fully-deduped ones
+    assert (out[0].n_chunks, out[0].n_kept) == (2, 2)
+    assert out[0].deduped_text == "a b c d e f"
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 1)
+    assert out[1].deduped_text == "x y z"
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    assert out[2].deduped_text == "p q r"
+    assert (out[3].n_chunks, out[3].n_kept) == (1, 0)
+    assert out[3].deduped_text == ""
+    assert (out[4].n_chunks, out[4].n_kept) == (2, 2)
+    assert out[4].deduped_text == "m n o t"
+
+
+def test_chunk_dedup_reassembly_preserves_order(spark):
+    # 20 distinct words -> 3 chunks at w=8; nothing repeats, so the
+    # round-trip must reproduce the text verbatim (chunk order by cpos).
+    text = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = dd.chunk_dedup(docs).collect()[0]
+    assert (row.n_chunks, row.n_kept) == (3, 3)
+    assert row.deduped_text == text
+
+
+def test_chunk_dedup_matches_duckdb_oracle(spark, tmp_path):
+    import duckdb
+
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h zz"),   # first 8-word chunk repeats doc 0's
+        (2, "a b c d e f g h i j"),  # exact dup of doc 0 -> fully deduped
+        (3, "solo words only here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.parquet(p)
+
+    got = sorted(tuple(r) for r in dd.chunk_dedup(docs).collect())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')"
+    )
+    want = sorted(con.execute(dd.chunk_dedup_oracle_sql()).fetchall())
+    assert got == want

@@ -227,3 +227,17 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_hash_agg_no_sort(spark):
+    """The chunk keeper is min() over a PACKED BIGINT (doc_id, cpos): a
+    struct-typed min buffer silently demotes the keeper aggregate to
+    SortAggregate + a per-partition Sort of every exploded chunk row
+    (observed before the fix). Pin the hash-agg shape: no Sort, no Window,
+    no SortAggregate anywhere in the executed plan."""
+    plan = plan_of(REGISTRY["chunk_dedup_docs"].fn(spark, SF), "simple")
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    import re
+
+    assert not re.search(r"\bSort\b", plan.replace("SortMergeJoin", ""))
