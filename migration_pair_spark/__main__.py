@@ -135,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--benchmark", default=None,
                     help="benchmark/eval parquet to decontaminate against "
                          "(word n-gram overlap)")
+    cu.add_argument("--chunk-dedup-w", type=int, default=None,
+                    help="opt-in span-level dedup: rewrite each doc to the "
+                         "corpus-wide first occurrences of its W-word chunks "
+                         "(fully-duplicated docs drop out)")
 
     sub.add_parser("package")
 
@@ -326,6 +330,7 @@ def main(argv: list[str] | None = None) -> int:
             langs=tuple(args.langs.split(",")) if args.langs else None,
             neardup_threshold=args.neardup_threshold,
             benchmark=spark.read.parquet(args.benchmark) if args.benchmark else None,
+            chunk_dedup_w=args.chunk_dedup_w,
         )
         stats = write_curated(curated, args.out)
         print(json.dumps({"out": args.out, "splits": stats}))

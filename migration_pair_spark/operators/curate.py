@@ -8,6 +8,12 @@ scans:
 
 1. **exact dedup** (md5 groupBy, one shuffle) drops byte-identical copies —
    on web crawls typically the largest single reduction;
+1.5. *(opt-in)* **chunk-level span dedup** (``chunk_dedup_w``): CCNet-style
+   corpus-wide first-occurrence keep of w-word chunks REWRITES each text to
+   its surviving spans and drops fully-duplicated docs — it runs before the
+   gates so quality/lang score the text that will actually be trained on
+   (boilerplate stripped), at the cost of the rewrite's keeper shuffle +
+   one corpus join;
 2. **quality + language gates**: pure per-row Catalyst expressions
    (functions/textstats.py) — no shuffle, and they run BEFORE the expensive
    near-dup stage so rejected documents never pay for shingling (keeper
@@ -46,11 +52,15 @@ def curate_corpus(
     split_salt: str = "split",
     benchmark: DataFrame | None = None,
     decontaminate_min_shared: int = 2,
+    chunk_dedup_w: int | None = None,
 ) -> DataFrame:
     """The curated corpus: one row per kept document with
     (original columns, quality, pred_lang, n_tokens, split).
 
-    Drops: exact duplicates (keep min id per identical text), documents
+    Drops: exact duplicates (keep min id per identical text), duplicated
+    spans when ``chunk_dedup_w`` is set (each text is rewritten to its
+    corpus-wide first-occurrence w-word chunks; fully-duplicated docs drop
+    out), documents
     below ``min_quality`` or outside ``langs`` (None = keep all), documents
     contaminated by ``benchmark`` (shared word n-grams,
     operators/decontaminate.py — runs AFTER the cheap gates and BEFORE the
@@ -65,6 +75,20 @@ def curate_corpus(
     # (keepers is an aggregate — AQE broadcasts the semi-join side when it
     # fits; at web scale it stays a shuffled semi-join, which is correct)
     docs1 = docs.join(keepers, id_col, "left_semi")
+
+    # 1.5 opt-in span-level dedup: rewrite each doc to its first-occurrence
+    # chunks; a doc whose every span appeared earlier vanishes entirely
+    # (deduped_text = ''). Inner join back on id to swap the text column —
+    # one corpus shuffle, paid only when the stage is on.
+    if chunk_dedup_w is not None:
+        rewritten = dd.chunk_dedup(docs1, text_col, id_col, w=chunk_dedup_w).select(
+            F.col(id_col), F.col("deduped_text")
+        )
+        docs1 = (
+            docs1.drop(text_col)
+            .join(rewritten.filter(F.col("deduped_text") != ""), id_col)
+            .withColumnRenamed("deduped_text", text_col)
+        )
 
     # 2. per-row gates FIRST: rejected docs never pay for shingling
     gated = (

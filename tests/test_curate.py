@@ -140,3 +140,30 @@ def test_curate_with_benchmark_decontamination(spark, docs):
     # benchmark) is gone; the unrelated doc survives
     assert 4 in decon
     assert decon & {1, 2, 3, 6} == set()
+
+
+def test_curate_chunk_dedup_stage_rewrites_spans(spark):
+    rows = [
+        (1, "a b c d e f", "en"),
+        (2, "a b c d e f", "en"),      # exact dup of 1 -> dropped at stage 1
+        (3, "a b c q r s t u v", "en"),  # span "a b c" repeats doc 1 -> stripped
+        (4, "d e f a b c", "en"),      # every chunk seen in doc 1 -> vanishes
+        (5, "zebra yak xenon wolf viper unicorn", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curate_corpus(docs, min_quality=0.0, neardup_threshold=0.5, chunk_dedup_w=3)
+    got = {r.doc_id: r.text for r in out.select("doc_id", "text").collect()}
+
+    # exact-dup doc 2 and fully-span-duplicated doc 4 are gone; doc 3 keeps
+    # only its novel spans; survivors' texts are the rewritten ones.
+    assert set(got) == {1, 3, 5}
+    assert got[1] == "a b c d e f"
+    assert got[3] == "q r s t u v"
+    assert got[5] == "zebra yak xenon wolf viper unicorn"
+
+
+def test_curate_chunk_dedup_default_off_is_unchanged(spark, docs):
+    base = {r.doc_id for r in curate_corpus(docs, min_quality=0.2).select("doc_id").collect()}
+    # chunk_dedup_w=None must be byte-for-byte the old pipeline
+    same = {r.doc_id for r in curate_corpus(docs, min_quality=0.2, chunk_dedup_w=None).select("doc_id").collect()}
+    assert base == same
