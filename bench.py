@@ -65,6 +65,7 @@ HEADLINE_QUERIES = [
     "video_frame_sample",
     "neardup_doc_clusters",
     "chunk_dedup_docs",
+    "incremental_chunk_dedup",
     "incremental_dedup_docs",
     "incremental_embedding_neardup",
 ]

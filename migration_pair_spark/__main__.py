@@ -9,6 +9,7 @@ to Spark-first subcommands:
     compact           rewrite bucket files (maintenance)
     rescale           grow n_buckets (chunked, resumable migration)
     dedup-ingest      near-dup ingest of a doc batch vs the persisted index
+    chunk-ingest      span-dedup ingest: rewrite a doc batch vs every seen chunk
     dedup-stream      the same loop as a Structured Streaming tail
     retention         expire old snapshots + vacuum orphan data files
     changelog         snapshot-diff change feed between two table versions
@@ -113,6 +114,21 @@ def main(argv: list[str] | None = None) -> int:
                          "duplicate clusters (create-time only)")
     di.add_argument("--export-accepted", default=None,
                     help="optionally write the accepted corpus parquet here")
+
+    ci = sub.add_parser("chunk-ingest")
+    ci.add_argument("--root", required=True,
+                    help="chunk-index root (corpus + chunk-key index tables; "
+                         "created on first use)")
+    ci.add_argument("--docs", required=True,
+                    help="input parquet of (doc_id, text) — the new batch")
+    ci.add_argument("--batch-id", required=True,
+                    help="idempotency key: re-running the same batch id "
+                         "replays/heals instead of double-ingesting")
+    ci.add_argument("--w", type=int, default=8,
+                    help="chunk width in words (create-time only)")
+    ci.add_argument("--export-rewritten", default=None,
+                    help="optionally write the batch's rewritten docs "
+                         "parquet here")
 
     ds = sub.add_parser("dedup-stream")
     ds.add_argument("--root", required=True)
@@ -250,6 +266,32 @@ def main(argv: list[str] | None = None) -> int:
         if args.export_accepted:
             ded.accepted().write.parquet(args.export_accepted, mode="errorifexists")
             out["exported"] = args.export_accepted
+        print(json.dumps(out))
+    elif args.cmd == "chunk-ingest":
+        import os as _os
+
+        from migration_pair_spark.lakehouse.table import LakeTable
+        from migration_pair_spark.operators.incremental import IncrementalChunkIndex
+
+        if LakeTable.exists(_os.path.join(args.root, "corpus")):
+            cix = IncrementalChunkIndex(spark, args.root)
+        else:
+            cix = IncrementalChunkIndex.create(spark, args.root, w=args.w)
+        docs = spark.read.parquet(args.docs).select("doc_id", "text")
+        res = cix.ingest(docs, args.batch_id)
+        out = {
+            k: res.get(k)
+            for k in (
+                "replayed", "healed", "empty", "n_new", "n_chunks",
+                "n_kept", "probe_buckets", "corpus_version", "index_version",
+            )
+            if k in res
+        }
+        if args.export_rewritten and res.get("rewritten") is not None:
+            res["rewritten"].write.parquet(
+                args.export_rewritten, mode="errorifexists"
+            )
+            out["exported"] = args.export_rewritten
         print(json.dumps(out))
     elif args.cmd == "dedup-stream":
         import os as _os

@@ -495,25 +495,47 @@ def chunk_dedup(
     shuffle but pays a full sort of every exploded row; the agg+join form
     keeps both shuffles partial-aggregated/co-partitioned and sort-free.
     """
+    exploded = chunk_rows(docs, text_col, id_col, w)
+    keepers = exploded.groupBy("ck").agg(F.min("occ").alias("first_occ"))
+    flagged = exploded.join(keepers, "ck").withColumn(
+        "is_first", F.col("occ") == F.col("first_occ")
+    )
+    return chunk_reassemble(flagged, id_col)
+
+
+def chunk_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = CHUNK_W,
+) -> DataFrame:
+    """Exploded chunk occurrences ``(id, cpos, chunk, ck, occ)`` — the
+    shared front half of :func:`chunk_dedup` and the incremental chunk
+    index (operators/incremental.py). ``ck`` = md5(chunk) is the dedup
+    key; ``occ`` packs ``(id, cpos)`` into one BIGINT (bit bounds in the
+    :func:`chunk_dedup` docstring) so keeper selection stays a
+    hash-aggregable ``min``. Narrow: split + transform + posexplode, no
+    shuffle."""
     words = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(w)).cast("int")
     chunk_arr = F.transform(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
         lambda i: F.array_join(F.slice(words, i * w + F.lit(1), F.lit(w)), " "),
     )
-    pack = (F.col(id_col) * F.lit(1 << 21) + F.col("cpos")).cast("long")
-    exploded = docs.select(
-        F.col(id_col), F.posexplode(chunk_arr).alias("cpos", "chunk")
-    ).withColumn("occ", pack)
-    keepers = exploded.groupBy(F.md5(F.col("chunk")).alias("ck")).agg(
-        F.min("occ").alias("first_occ")
+    return (
+        docs.select(F.col(id_col), F.posexplode(chunk_arr).alias("cpos", "chunk"))
+        .withColumn("ck", F.md5(F.col("chunk")))
+        .withColumn(
+            "occ", (F.col(id_col) * F.lit(1 << 21) + F.col("cpos")).cast("long")
+        )
     )
-    flagged = exploded.join(keepers, F.md5(exploded["chunk"]) == keepers["ck"]).select(
-        F.col(id_col),
-        F.col("cpos"),
-        F.col("chunk"),
-        (F.col("occ") == F.col("first_occ")).alias("is_first"),
-    )
+
+
+def chunk_reassemble(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Rebuild per-doc rows ``(id, n_chunks, n_kept, deduped_text)`` from
+    flagged chunk occurrences (``is_first`` marks survivors). One
+    groupBy(id) whose per-group state is bounded by a single document's
+    size (collect_list -> ObjectHashAggregate)."""
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("is_first").cast("int")).cast("long").alias("n_kept"),

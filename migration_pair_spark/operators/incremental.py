@@ -1079,3 +1079,319 @@ class IncrementalEmbeddingIndex:
             )
         finally:
             rows.unpersist()
+
+
+# --------------------------------------------------------------------------
+# Chunk-level (sub-document span) incremental dedup — the exact-match third
+# member of the same operational loop. Simpler than the LSH/SRP pair in one
+# structural way: the keeper of a chunk VALUE is the globally minimal
+# occurrence, and exact matching has no transitivity through rejected rows,
+# so there is no verify stage, no bridge problem, and sequential ingest is
+# EXACTLY equal to a from-scratch batch run under monotone doc ids (pinned
+# in tests/test_incremental_chunk.py).
+# --------------------------------------------------------------------------
+
+_CHUNK_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("n_chunks", T.LongType(), True),
+        T.StructField("n_kept", T.LongType(), True),
+        T.StructField("deduped_text", T.StringType(), True),
+    ]
+)
+_CHUNK_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("ck", T.StringType(), False),
+        T.StructField("first_occ", T.LongType(), True),
+    ]
+)
+
+
+class IncrementalChunkIndex:
+    """A persisted (corpus, chunk-key index) pair with exactly-once batch
+    ingest of CCNet-style span dedup (dedup.chunk_dedup semantics): each
+    new document is rewritten to the corpus-wide first occurrences of its
+    w-word chunks, against every chunk ever seen.
+
+    Scale shape: the index holds ONE row per distinct chunk value
+    (O(span vocabulary), not O(documents) — appends are anti-joined
+    against the index, so a boilerplate chunk occurs once no matter how
+    many million pages carry it, and the probe join is 1:m with no
+    quadratic hot-bucket exposure at all). The probe reads only the index
+    lake buckets the batch's chunk keys hash into (bounded driver collect,
+    same shape as the CDC gate). AQE stays ON here — unlike the
+    fixed-shape LSH ingest, this pipeline's shuffles (probe join, firsts
+    agg, reassembly) have data-dependent sizes AQE can right-size.
+
+    Gate/heal contract: identical to :class:`IncrementalDeduper` — a
+    ``dedup.applied`` doc-id interval set on each table, updated
+    atomically with its data commit; monotone + unique-id gates; the
+    corpus-minus-index interval difference is the pending work and any
+    later ingest heals it FIRST (an index missing committed chunk keys
+    would let a duplicated span through — an acceptance that can never be
+    retracted). Healing re-chunks exactly the pending id ranges from the
+    corpus and appends the chunk keys not already present; chunking is
+    deterministic, so the healed index is byte-equal to a clean run's.
+
+    Reference parity note: the reference (Mycenae) has no dedup surface at
+    all — this extends the engine's LLM-pipeline family
+    (/root/reference/Tasks/MigrationTask.cs:125-151 is a row copier); the
+    design mirrors the repo's own IncrementalDeduper contract instead."""
+
+    #: repartition sizing for the narrow chunking map (chunking is lighter
+    #: than shingling — fewer output rows per doc, no k-gram explosion)
+    rows_per_task = 1024
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.corpus = LakeTable.load(spark, os.path.join(root, "corpus"))
+        self.index = LakeTable.load(spark, os.path.join(root, "index"))
+        self.w = int(self.corpus.properties["chunk.w"])
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        corpus_buckets: int = 16,
+        index_buckets: int = 16,
+        w: int = dd.CHUNK_W,
+    ) -> "IncrementalChunkIndex":
+        props = {"chunk.w": str(w), APPLIED_PROP: "[]"}
+        LakeTable.create(
+            spark,
+            os.path.join(root, "corpus"),
+            _CHUNK_CORPUS_SCHEMA,
+            key_col="doc_id",
+            n_buckets=corpus_buckets,
+            properties=props,
+        )
+        LakeTable.create(
+            spark,
+            os.path.join(root, "index"),
+            _CHUNK_INDEX_SCHEMA,
+            key_col="ck",
+            n_buckets=index_buckets,
+            properties={APPLIED_PROP: "[]"},
+        )
+        return cls(spark, root)
+
+    # ------------------------------------------------------------- internals
+
+    def seen_max(self) -> int:
+        ranges = applied_ranges(self.corpus)
+        return ranges[-1][1] if ranges else -1
+
+    def pending_ranges(self) -> list[tuple[int, int]]:
+        """Doc-id intervals committed to the corpus but not the index."""
+        return subtract_ranges(
+            applied_ranges(self.corpus), applied_ranges(self.index, self.corpus)
+        )
+
+    def probe_lake_buckets(self, cks: DataFrame) -> list[int]:
+        """The index lake buckets the probe must open: distinct
+        pmod(xxhash64(ck), n_buckets) over the batch's chunk keys. Bounded
+        driver collect (<= index.n_buckets values)."""
+        rows = (
+            cks.select(self.index.bucket_expr("ck").alias("b")).distinct().collect()
+        )
+        return sorted(int(r["b"]) for r in rows)
+
+    def _flag_chunks(
+        self, chunks: DataFrame, keep=lambda df: df
+    ) -> tuple[DataFrame, DataFrame, list[int]]:
+        """Decide survival for each chunk occurrence of the batch.
+
+        Returns (flagged occurrences with ``is_first``, ``firsts`` = one
+        (ck, first_occ) row per chunk key NEWLY seen in this batch — the
+        exact index append, list of probed index lake buckets). A chunk
+        occurrence survives iff its key is absent from the persisted index
+        AND it is the batch's minimal occurrence of that key."""
+        index_has_rows = any(self.index.manifest["buckets"].values())
+        if index_has_rows:
+            probe_buckets = self.probe_lake_buckets(chunks.select("ck"))
+            idx = (
+                self.index.read_buckets(probe_buckets)
+                .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                .select("ck")
+                .withColumn("_seen", F.lit(True))
+            )
+            marked = chunks.join(idx, "ck", "left")
+        else:
+            probe_buckets = []
+            marked = chunks.withColumn("_seen", F.lit(None).cast("boolean"))
+        firsts = keep(
+            marked.filter(F.col("_seen").isNull())
+            .groupBy("ck")
+            .agg(F.min("occ").alias("first_occ"))
+        )
+        flagged = marked.join(firsts, "ck", "left").withColumn(
+            "is_first",
+            F.col("_seen").isNull() & (F.col("occ") == F.col("first_occ")),
+        )
+        return flagged, firsts, probe_buckets
+
+    def ingest(self, new_docs: DataFrame, batch_id: str) -> dict:
+        """Process one batch of (doc_id, text) rows: rewrite each doc to
+        its globally-first chunks and append docs + newly-seen chunk keys.
+        Idempotent per doc-id range; ``batch_id`` labels lineage only.
+
+        Returns {"rewritten": DataFrame(doc_id, n_chunks, n_kept,
+        deduped_text) for the batch (localCheckpointed — survives the
+        tables), plus counters}. On a replayed batch ``rewritten`` is None
+        (already persisted in the corpus)."""
+        stats = new_docs.agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("nd"),
+        ).collect()[0]
+        if stats["lo"] is None:
+            return {
+                "replayed": False,
+                "empty": True,
+                "rewritten": None,
+                "n_new": 0,
+                "n_chunks": 0,
+                "n_kept": 0,
+            }
+        lo, hi, n_new = int(stats["lo"]), int(stats["hi"]), int(stats["n"])
+        if int(stats["nd"]) != n_new:
+            raise ValueError(
+                f"batch {batch_id}: doc ids must be unique within a batch "
+                f"({n_new - int(stats['nd'])} duplicated) — a duplicate id "
+                "would commit duplicate corpus rows under the exactly-once gate"
+            )
+        corpus_applied = applied_ranges(self.corpus)
+        index_applied = applied_ranges(self.index, self.corpus)
+        if _covered(lo, hi, corpus_applied):
+            if _covered(lo, hi, index_applied):
+                return {"replayed": True, "rewritten": None}
+            self._heal_index(subtract_ranges(corpus_applied, index_applied))
+            return {"replayed": True, "healed": "index", "rewritten": None}
+        seen_max = corpus_applied[-1][1] if corpus_applied else -1
+        if lo <= seen_max:
+            raise ValueError(
+                f"batch {batch_id}: doc ids must be monotone across batches "
+                f"(batch min {lo} <= seen max {seen_max})"
+            )
+        pending = subtract_ranges(corpus_applied, index_applied)
+        if pending:
+            self._heal_index(pending)
+        rng = (seen_max + 1 if corpus_applied else lo, hi)
+
+        cached: list[DataFrame] = []
+
+        def keep(df: DataFrame) -> DataFrame:
+            cached.append(df.persist())
+            return df
+
+        try:
+            par = min(
+                self.spark.sparkContext.defaultParallelism,
+                max(1, n_new // self.rows_per_task),
+            )
+            if 1 < par and new_docs.rdd.getNumPartitions() < par:
+                new_docs = keep(new_docs.repartition(par, "doc_id"))
+            chunks = keep(dd.chunk_rows(new_docs, w=self.w))
+            flagged, firsts, probe_buckets = self._flag_chunks(chunks, keep)
+            # localCheckpoint (not persist): returned to the caller and must
+            # survive the index's tables being deleted; also consumed twice
+            # below (corpus rows + counters)
+            rewritten = dd.chunk_reassemble(flagged).localCheckpoint()
+            sums = rewritten.agg(
+                F.sum("n_chunks").alias("nc"), F.sum("n_kept").alias("nk")
+            ).collect()[0]
+
+            corpus_rows = _with_system(
+                new_docs.select("doc_id", "text").join(rewritten, "doc_id"),
+                self.corpus.bucket_expr("doc_id"),
+            )
+            self.corpus.append_buckets(
+                corpus_rows,
+                properties={
+                    APPLIED_PROP: json.dumps(merge_ranges(corpus_applied + [rng])),
+                },
+                lineage={"chunk_ingest": batch_id, "n_docs": n_new},
+            )
+            self._append_index(firsts, rng, batch_id, n_new)
+        finally:
+            for df in cached:
+                df.unpersist()
+        return {
+            "replayed": False,
+            "rewritten": rewritten,
+            "n_new": n_new,
+            "n_chunks": int(sums["nc"] or 0),
+            "n_kept": int(sums["nk"] or 0),
+            "probe_buckets": probe_buckets,
+            "corpus_version": self.corpus.version,
+            "index_version": self.index.version,
+        }
+
+    def _append_index(
+        self, firsts: DataFrame, rng: tuple[int, int], batch_id: str, n_docs: int
+    ) -> None:
+        rows = _with_system(
+            firsts.select("ck", "first_occ"), self.index.bucket_expr("ck")
+        )
+        self.index.append_buckets(
+            rows,
+            properties={
+                APPLIED_PROP: json.dumps(
+                    merge_ranges(
+                        applied_ranges(self.index, self.corpus) + [tuple(rng)]
+                    )
+                )
+            },
+            lineage={"chunk_ingest": batch_id, "n_docs": n_docs},
+        )
+
+    def _heal_index(self, ranges: list[tuple[int, int]]) -> None:
+        """Crash-retry path: the corpus committed id ranges the index lacks.
+        Re-chunk exactly those ranges' rows, anti-join against the index
+        (same probe the crashed run used — the crash happened before its
+        index append, so the index state is identical), and complete the
+        append. Chunking is deterministic, so the healed index is
+        byte-equal to a clean run's."""
+        batch_docs = (
+            self.corpus.read()
+            .filter(covered_expr(F.col("doc_id"), ranges))
+            .select("doc_id", "text")
+        )
+        chunks = dd.chunk_rows(batch_docs, w=self.w).persist()
+        try:
+            _, firsts, _ = self._flag_chunks(chunks)
+            firsts = firsts.persist()
+            n = int(
+                self.corpus.read()
+                .filter(covered_expr(F.col("doc_id"), ranges))
+                .count()
+            )
+            rows = _with_system(
+                firsts.select("ck", "first_occ"), self.index.bucket_expr("ck")
+            )
+            self.index.append_buckets(
+                rows,
+                properties={
+                    APPLIED_PROP: json.dumps(
+                        merge_ranges(
+                            applied_ranges(self.index, self.corpus) + list(ranges)
+                        )
+                    )
+                },
+                lineage={"chunk_heal": json.dumps(list(ranges)), "n_docs": n},
+            )
+            firsts.unpersist()
+        finally:
+            chunks.unpersist()
+
+    # ---------------------------------------------------------------- reads
+
+    def rewritten(self) -> DataFrame:
+        """(doc_id, n_chunks, n_kept, deduped_text) for every seen doc."""
+        return self.corpus.read().select(
+            "doc_id", "n_chunks", "n_kept", "deduped_text"
+        )

@@ -1438,3 +1438,38 @@ def incremental_dedup_docs(spark, sf_dir):
         return res["pairs"]
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@q(
+    "incremental_chunk_dedup",
+    "SELECT * FROM (\n"
+    + dd.chunk_dedup_oracle_sql()
+    + "\n    ) WHERE doc_id > (SELECT (max(doc_id) * 4) // 5 FROM documents)",
+    "INCREMENTAL chunk-level span dedup against a persisted chunk-key "
+    "index: base docs (doc_id <= 80th-pctile split) build a LakeTable of "
+    "every seen 8-word chunk (one row per distinct chunk value); the new "
+    "batch chunks ONLY itself and probes the index bucket-pruned. Oracle "
+    "= the from-scratch batch chunk dedup restricted to the new docs — "
+    "exact-match keepers are globally minimal, so sequential ingest "
+    "equals the batch run with NO frozen-label caveat",
+)
+def incremental_chunk_dedup(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from migration_pair_spark.operators.incremental import IncrementalChunkIndex
+
+    docs = t(spark, sf_dir, "documents")
+    thr = docs.agg(F.max("doc_id")).collect()[0][0] * 4 // 5
+    base = docs.filter(F.col("doc_id") <= thr).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") > thr).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="incchunk-")
+    try:
+        ix = IncrementalChunkIndex.create(
+            spark, root, corpus_buckets=8, index_buckets=8
+        )
+        ix.ingest(base, "base")
+        res = ix.ingest(new, "new")
+        return res["rewritten"]  # localCheckpointed — safe after rmtree
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

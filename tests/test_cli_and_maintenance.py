@@ -175,3 +175,42 @@ def test_dedup_ingest_cli(spark, tmp_path, capsys):
                  "--batch-id", "b2"]) == 0
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["replayed"] is True
+
+
+def test_chunk_ingest_cli(spark, tmp_path, capsys):
+    """chunk-ingest: create-on-first-use, span rewrite across batches,
+    replay no-op, rewritten export."""
+    import json
+
+    from migration_pair_spark.__main__ import main
+
+    docs1 = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(10, "a b c x y z"), (11, "d e f a b c")],
+        "doc_id long, text string",
+    )
+    d1, d2 = str(tmp_path / "b1"), str(tmp_path / "b2")
+    docs1.write.parquet(d1)
+    docs2.write.parquet(d2)
+    root = str(tmp_path / "cidx")
+
+    assert main(["chunk-ingest", "--root", root, "--docs", d1,
+                 "--batch-id", "b1", "--w", "3"]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["n_new"] == 2 and out1["n_chunks"] == 4 and out1["n_kept"] == 4
+
+    exp = str(tmp_path / "rewritten")
+    assert main(["chunk-ingest", "--root", root, "--docs", d2,
+                 "--batch-id", "b2", "--export-rewritten", exp]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_chunks"] == 4 and out2["n_kept"] == 1
+    got = {r.doc_id: r.deduped_text for r in spark.read.parquet(exp).collect()}
+    assert got == {10: "x y z", 11: ""}
+
+    assert main(["chunk-ingest", "--root", root, "--docs", d2,
+                 "--batch-id", "b2"]) == 0
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out3["replayed"] is True
