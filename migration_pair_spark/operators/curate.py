@@ -81,13 +81,19 @@ def curate_corpus(
     # (deduped_text = ''). Inner join back on id to swap the text column —
     # one corpus shuffle, paid only when the stage is on.
     if chunk_dedup_w is not None:
+        # drop on n_kept == 0 (every span seen before), NOT on empty
+        # deduped_text: an empty-or-whitespace doc's single chunk can be
+        # globally FIRST (n_kept = 1) while still reassembling to '' — such
+        # a doc duplicated nothing and must survive this stage like it
+        # survives with the stage off (review-caught, reproduced)
         rewritten = dd.chunk_dedup(docs1, text_col, id_col, w=chunk_dedup_w).select(
-            F.col(id_col), F.col("deduped_text")
+            F.col(id_col), F.col("n_kept"), F.col("deduped_text")
         )
         docs1 = (
             docs1.drop(text_col)
-            .join(rewritten.filter(F.col("deduped_text") != ""), id_col)
+            .join(rewritten.filter(F.col("n_kept") > 0), id_col)
             .withColumnRenamed("deduped_text", text_col)
+            .drop("n_kept")
         )
 
     # 2. per-row gates FIRST: rejected docs never pay for shingling

@@ -464,8 +464,10 @@ def chunk_dedup(
     distinct chunk (ordered by ``(doc_id, chunk_pos)``), and reassemble the
     surviving chunks into a deduplicated text. Later repeats *within* the
     same doc are dropped too (the keeper rule is global). Returns one row
-    per input doc: ``(doc_id, n_chunks, n_kept, deduped_text)`` — a doc
-    whose every chunk appeared earlier collapses to ``deduped_text = ''``.
+    per input doc with NON-NULL text: ``(doc_id, n_chunks, n_kept,
+    deduped_text)`` — a doc whose every chunk appeared earlier collapses
+    to ``deduped_text = ''``; a NULL text has no chunks and yields no row
+    (split(NULL) is NULL in both engines — the DuckDB twin agrees).
 
     This is the sub-document complement of :func:`exact_dedup` (whole-doc)
     and the LSH family (whole-doc near-dup): web corpora share boilerplate
@@ -526,7 +528,12 @@ def chunk_rows(
         docs.select(F.col(id_col), F.posexplode(chunk_arr).alias("cpos", "chunk"))
         .withColumn("ck", F.md5(F.col("chunk")))
         .withColumn(
-            "occ", (F.col(id_col) * F.lit(1 << 21) + F.col("cpos")).cast("long")
+            # cast BEFORE the multiply: an IntegerType id column would
+            # overflow int32 arithmetic at id >= 1024 (ANSI crash, or a
+            # silently scrambled keeper order with ANSI off) if the cast
+            # came after (review-caught, reproduced)
+            "occ",
+            F.col(id_col).cast("long") * F.lit(1 << 21) + F.col("cpos"),
         )
     )
 

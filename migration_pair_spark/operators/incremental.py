@@ -164,6 +164,78 @@ def _covered(lo: int, hi: int, ranges: list[tuple[int, int]]) -> bool:
     return not subtract_ranges([(lo, hi)], ranges)
 
 
+def _ingest_gate(
+    data_table: LakeTable,
+    index_table: LakeTable,
+    new_rows: DataFrame,
+    batch_id: str,
+    id_col: str,
+    noun: str,
+    heal_fn,
+) -> dict:
+    """The exactly-once batch gate shared by ALL THREE incremental indexes
+    (LSH text, SRP embedding, chunk-key span): one bounded stats job (id
+    range + count + uniqueness), the replay/heal decision from the two
+    applied-interval sets, the monotone check, pre-probe healing of any
+    pending interval (an index missing committed entries would accept
+    what it should reject — never retractable), and the gap-absorbed
+    committed range. Factored in round 5 when the third near-verbatim
+    copy landed (review-caught): a gate fix applied to one copy and not
+    the others is exactly how the round-4 unique-id hole happened.
+
+    Returns one of
+      {"status": "empty"}
+      {"status": "replayed", "healed": bool}   (fully-covered batch)
+      {"status": "ok", "lo", "hi", "n_new", "rng", "applied"}
+    and raises ValueError on duplicate or non-monotone ids."""
+    stats = new_rows.agg(
+        F.min(id_col).alias("lo"),
+        F.max(id_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(id_col).alias("nd"),
+    ).collect()[0]
+    if stats["lo"] is None:
+        return {"status": "empty"}
+    lo, hi, n_new = int(stats["lo"]), int(stats["hi"]), int(stats["n"])
+    if int(stats["nd"]) != n_new:
+        raise ValueError(
+            f"batch {batch_id}: {noun} must be unique within a batch "
+            f"({n_new - int(stats['nd'])} duplicated) — a duplicate id "
+            "would commit duplicate rows under the exactly-once gate"
+        )
+    applied = applied_ranges(data_table)
+    idx_applied = applied_ranges(index_table, data_table)
+    if _covered(lo, hi, applied):
+        if _covered(lo, hi, idx_applied):
+            return {"status": "replayed", "healed": False}
+        # heal the FULL data-vs-index difference (not just this batch's
+        # literal range): committed intervals are gap-absorbed, so the
+        # pending span may start below the batch's min id
+        heal_fn(subtract_ranges(applied, idx_applied))
+        return {"status": "replayed", "healed": True}
+    seen_max = applied[-1][1] if applied else -1
+    if lo <= seen_max:
+        raise ValueError(
+            f"batch {batch_id}: {noun} must be monotone across batches "
+            f"(batch min {lo} <= seen max {seen_max})"
+        )
+    pending = subtract_ranges(applied, idx_applied)
+    if pending:
+        heal_fn(pending)
+    # the committed interval extends DOWN to the watermark: the monotone
+    # gate guarantees ids in (seen_max, lo) can never legitimately arrive
+    # later, so absorbing the gap keeps the applied set at exactly ONE
+    # interval forever — O(1) manifest state, not O(batch history)
+    return {
+        "status": "ok",
+        "lo": lo,
+        "hi": hi,
+        "n_new": n_new,
+        "rng": (seen_max + 1 if applied else lo, hi),
+        "applied": applied,
+    }
+
+
 def _cap_hot_buckets(
     rows: DataFrame, key_col: str, id_col: str, max_bucket: int | None
 ) -> DataFrame:
@@ -457,14 +529,15 @@ class IncrementalDeduper:
         candidate pair touching the batch, "keepers": DataFrame(doc_id,
         keeper_doc_id) for the batch, plus counters}. On a replayed batch
         the DataFrames are None (already persisted in the corpus)."""
-        # ONE bounded stats job: id range + row count + uniqueness gate
-        stats = new_docs.agg(
-            F.min("doc_id").alias("lo"),
-            F.max("doc_id").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("doc_id").alias("nd"),
-        ).collect()[0]
-        if stats["lo"] is None:
+        # shared gate: stats + uniqueness + replay/heal + monotone + rng
+        # (a batch of never-committed gap ids is indistinguishable from a
+        # redelivery and no-ops; under the monotone allocator contract such
+        # a batch is already a violation)
+        g = _ingest_gate(
+            self.corpus, self.index, new_docs, batch_id, "doc_id", "doc ids",
+            self._heal_index,
+        )
+        if g["status"] == "empty":
             # quiet-day case: no documents arrived — clean no-op, no commits
             return {
                 "replayed": False,
@@ -475,47 +548,13 @@ class IncrementalDeduper:
                 "n_accepted": 0,
                 "n_rejected": 0,
             }
-        lo, hi, n_new = int(stats["lo"]), int(stats["hi"]), int(stats["n"])
-        if int(stats["nd"]) != n_new:
-            raise ValueError(
-                f"batch {batch_id}: doc ids must be unique within a batch "
-                f"({n_new - int(stats['nd'])} duplicated) — a duplicate id "
-                "would commit duplicate corpus rows under the exactly-once gate"
-            )
-        corpus_applied = applied_ranges(self.corpus)
-        index_applied = applied_ranges(self.index, self.corpus)
-        # -- replay / heal gate: the applied-interval sets decide
-        if _covered(lo, hi, corpus_applied):
-            if _covered(lo, hi, index_applied):
-                return {"replayed": True, "pairs": None, "keepers": None}
-            # heal the FULL corpus-vs-index difference (not just this
-            # batch's literal range): committed intervals are gap-absorbed,
-            # so the pending span may start below the batch's min id
-            self._heal_index(subtract_ranges(corpus_applied, index_applied))
-            return {
-                "replayed": True, "healed": "index", "pairs": None, "keepers": None
-            }
+        if g["status"] == "replayed":
+            out = {"replayed": True, "pairs": None, "keepers": None}
+            if g["healed"]:
+                out["healed"] = "index"
+            return out
+        n_new, rng, corpus_applied = g["n_new"], g["rng"], g["applied"]
         seen_max = corpus_applied[-1][1] if corpus_applied else -1
-        if lo <= seen_max:
-            raise ValueError(
-                f"batch {batch_id}: doc ids must be monotone across batches "
-                f"(batch min {lo} <= seen max {seen_max})"
-            )
-        # Heal any pending interval (a prior run crashed between its corpus
-        # and index commits) BEFORE probing: an index missing committed band
-        # rows would silently miss near-dups against those docs — an
-        # acceptance that can never be retracted (review-caught, round 4).
-        pending = subtract_ranges(corpus_applied, index_applied)
-        if pending:
-            self._heal_index(pending)
-        # The committed interval extends DOWN to the watermark: the monotone
-        # gate guarantees ids in (seen_max, lo) can never legitimately
-        # arrive later, so absorbing the gap keeps the applied set at
-        # exactly ONE interval forever — O(1) manifest state, not
-        # O(batch history). (A batch of never-committed gap ids is thereby
-        # indistinguishable from a redelivery and no-ops; under the
-        # monotone allocator contract such a batch is already a violation.)
-        rng = (seen_max + 1 if corpus_applied else lo, hi)
 
         # -- sign ONLY the new batch. Reused intermediates are persist()ed
         # (lazy, materialized inside their first consumer job, reused after)
@@ -915,40 +954,18 @@ class IncrementalEmbeddingIndex:
         crashed prior batch like the text deduper."""
         from migration_pair_spark.operators import similarity as sim
 
-        stats = new_emb.agg(
-            F.min("vec_id").alias("lo"),
-            F.max("vec_id").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("vec_id").alias("nd"),
-        ).collect()[0]
-        if stats["lo"] is None:
+        g = _ingest_gate(
+            self.vectors, self.index, new_emb, batch_id, "vec_id", "vec ids",
+            self._heal_index,
+        )
+        if g["status"] == "empty":
             return {"replayed": False, "empty": True, "pairs": None, "n_new": 0}
-        lo, hi, n_new = int(stats["lo"]), int(stats["hi"]), int(stats["n"])
-        if int(stats["nd"]) != n_new:
-            raise ValueError(
-                f"batch {batch_id}: vec ids must be unique within a batch "
-                f"({n_new - int(stats['nd'])} duplicated)"
-            )
-        vec_applied = applied_ranges(self.vectors)
-        idx_applied = applied_ranges(self.index, self.vectors)
-        if _covered(lo, hi, vec_applied):
-            if _covered(lo, hi, idx_applied):
-                return {"replayed": True, "pairs": None}
-            # full pending span, not the batch's literal range (gap-absorbed
-            # intervals — see the text deduper)
-            self._heal_index(subtract_ranges(vec_applied, idx_applied))
-            return {"replayed": True, "healed": "index", "pairs": None}
-        seen_max = vec_applied[-1][1] if vec_applied else -1
-        if lo <= seen_max:
-            raise ValueError(
-                f"batch {batch_id}: vec ids must be monotone across batches "
-                f"(batch min {lo} <= seen max {seen_max})"
-            )
-        pending = subtract_ranges(vec_applied, idx_applied)
-        if pending:
-            self._heal_index(pending)
-        # gap-absorbing interval — see IncrementalDeduper.ingest
-        rng = (seen_max + 1 if vec_applied else lo, hi)
+        if g["status"] == "replayed":
+            out = {"replayed": True, "pairs": None}
+            if g["healed"]:
+                out["healed"] = "index"
+            return out
+        n_new, rng, vec_applied = g["n_new"], g["rng"], g["applied"]
 
         cached: list[DataFrame] = []
 
@@ -1180,10 +1197,6 @@ class IncrementalChunkIndex:
 
     # ------------------------------------------------------------- internals
 
-    def seen_max(self) -> int:
-        ranges = applied_ranges(self.corpus)
-        return ranges[-1][1] if ranges else -1
-
     def pending_ranges(self) -> list[tuple[int, int]]:
         """Doc-id intervals committed to the corpus but not the index."""
         return subtract_ranges(
@@ -1218,7 +1231,11 @@ class IncrementalChunkIndex:
                 .select("ck")
                 .withColumn("_seen", F.lit(True))
             )
-            marked = chunks.join(idx, "ck", "left")
+            # persist: `firsts` (agg) and `flagged` (join back) both
+            # consume `marked` — without the cache each would re-read the
+            # pruned index bucket files and re-run the probe join
+            # (review-caught; same fix as the LSH probe's keep(idx))
+            marked = keep(chunks.join(idx, "ck", "left"))
         else:
             probe_buckets = []
             marked = chunks.withColumn("_seen", F.lit(None).cast("boolean"))
@@ -1242,13 +1259,11 @@ class IncrementalChunkIndex:
         deduped_text) for the batch (localCheckpointed — survives the
         tables), plus counters}. On a replayed batch ``rewritten`` is None
         (already persisted in the corpus)."""
-        stats = new_docs.agg(
-            F.min("doc_id").alias("lo"),
-            F.max("doc_id").alias("hi"),
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct("doc_id").alias("nd"),
-        ).collect()[0]
-        if stats["lo"] is None:
+        g = _ingest_gate(
+            self.corpus, self.index, new_docs, batch_id, "doc_id", "doc ids",
+            self._heal_index,
+        )
+        if g["status"] == "empty":
             return {
                 "replayed": False,
                 "empty": True,
@@ -1257,30 +1272,12 @@ class IncrementalChunkIndex:
                 "n_chunks": 0,
                 "n_kept": 0,
             }
-        lo, hi, n_new = int(stats["lo"]), int(stats["hi"]), int(stats["n"])
-        if int(stats["nd"]) != n_new:
-            raise ValueError(
-                f"batch {batch_id}: doc ids must be unique within a batch "
-                f"({n_new - int(stats['nd'])} duplicated) — a duplicate id "
-                "would commit duplicate corpus rows under the exactly-once gate"
-            )
-        corpus_applied = applied_ranges(self.corpus)
-        index_applied = applied_ranges(self.index, self.corpus)
-        if _covered(lo, hi, corpus_applied):
-            if _covered(lo, hi, index_applied):
-                return {"replayed": True, "rewritten": None}
-            self._heal_index(subtract_ranges(corpus_applied, index_applied))
-            return {"replayed": True, "healed": "index", "rewritten": None}
-        seen_max = corpus_applied[-1][1] if corpus_applied else -1
-        if lo <= seen_max:
-            raise ValueError(
-                f"batch {batch_id}: doc ids must be monotone across batches "
-                f"(batch min {lo} <= seen max {seen_max})"
-            )
-        pending = subtract_ranges(corpus_applied, index_applied)
-        if pending:
-            self._heal_index(pending)
-        rng = (seen_max + 1 if corpus_applied else lo, hi)
+        if g["status"] == "replayed":
+            out = {"replayed": True, "rewritten": None}
+            if g["healed"]:
+                out["healed"] = "index"
+            return out
+        n_new, rng, corpus_applied = g["n_new"], g["rng"], g["applied"]
 
         cached: list[DataFrame] = []
 
@@ -1305,8 +1302,14 @@ class IncrementalChunkIndex:
                 F.sum("n_chunks").alias("nc"), F.sum("n_kept").alias("nk")
             ).collect()[0]
 
+            # LEFT join: a NULL-text doc has no chunks and therefore no
+            # rewritten row, but its id range is marked applied with this
+            # commit — an inner join would drop the doc from the corpus
+            # FOREVER while the gate replays its redelivery as a no-op
+            # (review-caught, reproduced). Such docs persist with NULL
+            # rewrite columns.
             corpus_rows = _with_system(
-                new_docs.select("doc_id", "text").join(rewritten, "doc_id"),
+                new_docs.select("doc_id", "text").join(rewritten, "doc_id", "left"),
                 self.corpus.bucket_expr("doc_id"),
             )
             self.corpus.append_buckets(
@@ -1365,11 +1368,10 @@ class IncrementalChunkIndex:
         try:
             _, firsts, _ = self._flag_chunks(chunks)
             firsts = firsts.persist()
-            n = int(
-                self.corpus.read()
-                .filter(covered_expr(F.col("doc_id"), ranges))
-                .count()
-            )
+            # lineage count from the already-persisted chunks — a second
+            # corpus scan just for the counter would double the recovery
+            # path's heaviest read (review-caught)
+            n = chunks.select("doc_id").distinct().count()
             rows = _with_system(
                 firsts.select("ck", "first_occ"), self.index.bucket_expr("ck")
             )

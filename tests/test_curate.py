@@ -167,3 +167,14 @@ def test_curate_chunk_dedup_default_off_is_unchanged(spark, docs):
     # chunk_dedup_w=None must be byte-for-byte the old pipeline
     same = {r.doc_id for r in curate_corpus(docs, min_quality=0.2, chunk_dedup_w=None).select("doc_id").collect()}
     assert base == same
+
+
+def test_curate_chunk_dedup_keeps_first_empty_text_doc(spark):
+    # an empty-text doc duplicates nothing: its single '' chunk is globally
+    # first, so the span stage must not delete it (review-caught: the old
+    # deduped_text != '' filter did). A SECOND empty doc IS a full
+    # duplicate of the first and drops.
+    rows = [(1, "real words in here", "en"), (2, "", "en"), (3, "", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curate_corpus(docs, min_quality=0.0, neardup_threshold=0.99, chunk_dedup_w=3)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {1, 2}

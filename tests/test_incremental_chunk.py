@@ -230,3 +230,28 @@ def test_streaming_chunk_ingest_equals_batch(spark, tmp_path):
     again = run_dedup_stream(spark, ix, d, str(tmp_path / "ckpt2"))
     assert all(r.get("replayed") for r in again)
     assert _rw(ix.rewritten()) == _batch_truth(spark, BASE, BATCH1, BATCH2)
+
+
+def test_null_text_doc_survives_ingest_and_replay(spark, idx):
+    """A NULL-text doc yields no chunks, but it must still land in the
+    corpus under the applied range — an inner corpus join dropped it
+    forever while the gate replayed its redelivery as a no-op
+    (review-caught, reproduced)."""
+    idx.ingest(_df(spark, BASE), "base")
+    batch = spark.createDataFrame(
+        [(10, "a b c x y z"), (11, None), (12, "fresh words arrive here now")],
+        "doc_id long, text string",
+    )
+    r = idx.ingest(batch, "b1")
+    assert r["n_new"] == 3
+    rows = {
+        x["doc_id"]: x
+        for x in idx.corpus.read().filter(F.col("doc_id") >= 10).collect()
+    }
+    assert set(rows) == {10, 11, 12}  # the null-text doc is IN the corpus
+    assert rows[11]["text"] is None and rows[11]["n_chunks"] is None
+    assert rows[10]["deduped_text"] == "x y z"
+    # redelivery stays a no-op with the doc present
+    again = idx.ingest(batch, "b1-again")
+    assert again["replayed"] is True
+    assert idx.corpus.read().filter(F.col("doc_id") == 11).count() == 1

@@ -944,3 +944,14 @@ def test_chunk_dedup_matches_duckdb_oracle(spark, tmp_path):
     )
     want = sorted(con.execute(dd.chunk_dedup_oracle_sql()).fetchall())
     assert got == want
+
+
+def test_chunk_dedup_int_ids_do_not_overflow(spark):
+    # occ packs id * 2^21: an INT id column must be cast to long BEFORE the
+    # multiply or ids >= 1024 overflow int32 arithmetic (review-caught,
+    # reproduced: ANSI ARITHMETIC_OVERFLOW at id 5000)
+    docs = spark.createDataFrame(
+        [(5000, "a b c"), (6000, "a b c")], "doc_id int, text string"
+    )
+    out = {r.doc_id: r.n_kept for r in dd.chunk_dedup(docs, w=3).collect()}
+    assert out == {5000: 1, 6000: 0}  # smaller id wins, no crash
