@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--checkpoint", required=True)
     cr.add_argument("--max-files-per-trigger", type=int, default=None)
     cr.add_argument("--write-mode", choices=["cow", "mor"], default=None)
+    cr.add_argument("--source-format", choices=["parquet", "debezium-json"],
+                    default="parquet",
+                    help="change-stream wire format (sources/debezium.py)")
+    cr.add_argument("--on-malformed", choices=["error", "skip", "dead_letter"],
+                    default="error",
+                    help="debezium-json only: malformed-envelope policy")
+    cr.add_argument("--dead-letter-dir", default=None,
+                    help="DLQ directory for --on-malformed dead_letter")
 
     cp = sub.add_parser("compact")
     cp.add_argument("--table-path", required=True)
@@ -214,6 +222,9 @@ def main(argv: list[str] | None = None) -> int:
             n_buckets=cfg.n_buckets,
             write_mode=getattr(args, "write_mode", None) or cfg.write_mode,
             coalesce_bucket_files=cfg.coalesce_bucket_files,
+            source_format=args.source_format,
+            on_malformed=args.on_malformed,
+            dead_letter_dir=args.dead_letter_dir,
         )
         lineages = pipe.run_stream(
             spark, args.events, args.checkpoint,

@@ -70,6 +70,16 @@ CHANGE_STREAM_SCHEMA = T.StructType(
 )
 
 
+def pages_wire_payload_schema() -> T.StructType:
+    """The pages payload as it travels inside a Debezium envelope: the
+    change-stream superset columns minus the envelope-level metadata
+    (change_lsn/op/schema_epoch live in source/op, not the payload)."""
+    meta = {"change_lsn", "op", "schema_epoch"}
+    return T.StructType(
+        [f for f in CHANGE_STREAM_SCHEMA.fields if f.name not in meta]
+    )
+
+
 @dataclass
 class CdcPipeline:
     """Configuration for one change stream -> one lake table."""
@@ -115,6 +125,17 @@ class CdcPipeline:
     # Span feeds collapse intra-span churn but FOLD to the identical state
     # as per-batch feeds (tests/test_changelog.py).
     changelog_emit: str | None = None
+    # Change-stream wire format: "parquet" (canonical columns, FIXTURES F2)
+    # or "debezium-json" (JSONL envelope files, sources/debezium.py). Both
+    # honor the same delivery contract (one file == one LSN-contiguous
+    # chunk), so the apply gate is format-agnostic.
+    source_format: str = "parquet"
+    # malformed-envelope policy for debezium-json: "error" fails the batch
+    # loudly; "dead_letter" appends raw bad lines under dead_letter_dir
+    # (at-least-once under replay — sources/debezium.py docstring) and
+    # records rows_malformed in lineage; "skip" drops silently.
+    on_malformed: str = "error"
+    dead_letter_dir: str | None = None
 
     @property
     def changelog_policy(self) -> str:
@@ -347,6 +368,42 @@ class CdcPipeline:
 
         return emit_span(self.ensure_table(spark), self.changelog_dir)
 
+    def _handle_malformed(self, batch_df: DataFrame) -> tuple[DataFrame, int]:
+        """Apply the malformed-envelope policy to one debezium micro-batch
+        (the stream carries _corrupt/_raw markers — sources/debezium.py).
+        Returns (clean canonical rows, n_malformed). "skip" costs zero extra
+        jobs; "error"/"dead_letter" run one bad-rows-only action on the
+        micro-batch (the corrupt filter pushes to the text scan)."""
+        from migration_pair_spark.sources import debezium as dbz
+
+        if self.on_malformed not in ("error", "skip", "dead_letter"):
+            raise ValueError(
+                f"on_malformed must be 'error', 'skip' or 'dead_letter', "
+                f"got {self.on_malformed!r}"
+            )
+        n_bad = 0
+        if self.on_malformed == "error":
+            bad = (
+                batch_df.filter(F.col(dbz.CORRUPT_COL))
+                .select(dbz.RAW_COL)
+                .limit(5)
+                .collect()
+            )
+            if bad:
+                samples = "; ".join(repr(r[dbz.RAW_COL][:120]) for r in bad)
+                raise ValueError(
+                    f"malformed debezium envelope lines in micro-batch "
+                    f"(first samples: {samples})"
+                )
+        elif self.on_malformed == "dead_letter":
+            if not self.dead_letter_dir:
+                raise ValueError("on_malformed='dead_letter' requires dead_letter_dir")
+            n_bad = dbz.dead_letter(batch_df, self.dead_letter_dir)
+        good = batch_df.filter(~F.col(dbz.CORRUPT_COL)).drop(
+            dbz.CORRUPT_COL, dbz.RAW_COL
+        )
+        return good, n_bad
+
     # ------------------------------------------------------------ streaming
 
     def _start(
@@ -362,16 +419,36 @@ class CdcPipeline:
         self.ensure_table(spark)
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            n_malformed = 0
+            if self.source_format == "debezium-json":
+                batch_df, n_malformed = self._handle_malformed(batch_df)
             lineage = self.apply_batch(spark, batch_df, batch_id=batch_id)
+            if n_malformed:
+                lineage["rows_malformed"] = n_malformed
             lineages.append(lineage)
             if on_batch is not None:
                 on_batch(batch_id, lineage)
 
-        stream = (
-            spark.readStream.schema(CHANGE_STREAM_SCHEMA)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(events_dir)
-        )
+        if self.source_format == "debezium-json":
+            from migration_pair_spark.sources.debezium import stream_debezium_jsonl
+
+            stream = stream_debezium_jsonl(
+                spark,
+                events_dir,
+                pages_wire_payload_schema(),
+                max_files_per_trigger=max_files_per_trigger,
+            )
+        elif self.source_format == "parquet":
+            stream = (
+                spark.readStream.schema(CHANGE_STREAM_SCHEMA)
+                .option("maxFilesPerTrigger", max_files_per_trigger)
+                .parquet(events_dir)
+            )
+        else:
+            raise ValueError(
+                f"source_format must be 'parquet' or 'debezium-json', "
+                f"got {self.source_format!r}"
+            )
         return (
             stream.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)

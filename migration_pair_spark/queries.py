@@ -222,6 +222,65 @@ def type_coercion(spark, sf_dir):
     )
 
 
+@q(
+    "debezium_roundtrip",
+    """
+    SELECT CASE WHEN event_id % 10 = 0 THEN 'delete'
+                WHEN event_id % 10 <= 3 THEN 'update'
+                ELSE 'insert' END AS op,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           max(event_id) AS max_lsn,
+           round(sum(value), 2) AS sum_value,
+           max(epoch_ms(ts)) AS max_ts_ms,
+           count(DISTINCT md5(props)) AS n_props
+    FROM events GROUP BY 1
+    """,
+    "Debezium-envelope wire round trip (sources/debezium.py): events become "
+    "c/u/d JSON envelopes (payload base64 for binary, epoch-millis for "
+    "timestamps; deletes travel in `before`) via to_debezium_json, parse "
+    "back via from_json — the oracle aggregates the RAW rows, so matching "
+    "proves parse ∘ serialize is the identity across long/timestamp/"
+    "double/string/binary payload columns. Pure Catalyst: to_json + "
+    "from_json + base64/unbase64, no shuffle before the final aggregate",
+)
+def debezium_roundtrip(spark, sf_dir):
+    from migration_pair_spark.sources.debezium import (
+        parse_debezium,
+        to_debezium_json,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.col("props").cast("binary").alias("props"),
+    )
+    payload_schema = ev.schema
+    canon = ev.select(
+        F.col("event_id").alias("change_lsn"),
+        F.when(F.col("event_id") % 10 == 0, "delete")
+        .when(F.col("event_id") % 10 <= 3, "update")
+        .otherwise("insert")
+        .alias("op"),
+        F.lit(1).alias("schema_epoch"),
+        "*",
+    )
+    back = parse_debezium(
+        to_debezium_json(canon, payload_schema, ts_ms_col="ts"), payload_schema
+    )
+    return back.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("change_lsn").alias("max_lsn"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max(F.unix_millis("ts")).alias("max_ts_ms"),
+        F.countDistinct(F.md5("props")).alias("n_props"),
+    )
+
+
 # --------------------------------------------------------------------------
 # B. Relational coverage
 # --------------------------------------------------------------------------

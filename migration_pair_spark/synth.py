@@ -186,6 +186,81 @@ def write_change_stream(
     return df
 
 
+def write_debezium_stream(
+    out_dir: str,
+    n_events: int,
+    n_urls: int,
+    n_files: int,
+    seed: int = 42,
+    evolution: bool = False,
+    words_per_doc: int = 12,
+) -> pd.DataFrame:
+    """The SAME change stream as :func:`write_change_stream` (same seed =>
+    same events, same epoch schedule, same fetch_status draws) serialized as
+    Debezium-envelope JSONL files instead of parquet — one line per event,
+    file i named ``events-{i:05d}.jsonl``.
+
+    Deliberately written with stdlib ``json`` + ``base64`` rather than the
+    engine's own serializer (sources/debezium.to_debezium_json) so the
+    parser is validated against an INDEPENDENT encoder: html travels
+    base64, warc_ts travels epoch millis, op travels c/u/d with every 7th
+    insert as "r" (Debezium snapshot read — canonicalizes identically).
+    Returns the full epoch-1 event DataFrame for oracle computation.
+    """
+    import base64
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = make_change_events(n_events, n_urls, seed=seed, words_per_doc=words_per_doc)
+    bounds = np.linspace(0, n_events, n_files + 1, dtype=int)
+    rng = _rng(seed + 1)  # same stream as write_change_stream's fetch_status
+    op_wire = {"insert": "c", "update": "u", "delete": "d"}
+    n_inserts_seen = 0
+    for i in range(n_files):
+        chunk = df.iloc[bounds[i] : bounds[i + 1]]
+        epoch = 1
+        if evolution and i >= n_files - 2:
+            epoch = 2 if i == n_files - 2 else 3
+        fetch = (
+            rng.integers(200, 600, size=len(chunk)) if epoch >= 2 else None
+        )
+        lines = []
+        for j, r in enumerate(chunk.itertuples(index=False)):
+            payload: dict = {
+                "url": r.url,
+                "warc_ts": int(r.warc_ts.value // 1_000_000),
+                "html": (
+                    base64.b64encode(r.html).decode("ascii")
+                    if r.html is not None
+                    else None
+                ),
+                ("language" if epoch >= 3 else "lang"): r.lang,
+            }
+            if fetch is not None:
+                payload["fetch_status"] = int(fetch[j])
+            op = op_wire[r.op]
+            if r.op == "insert":
+                n_inserts_seen += 1
+                if n_inserts_seen % 7 == 0:
+                    op = "r"
+            env = {
+                "before": payload if op == "d" else None,
+                "after": None if op == "d" else payload,
+                "source": {"lsn": int(r.change_lsn), "schema_epoch": epoch},
+                "op": op,
+                "ts_ms": int(r.warc_ts.value // 1_000_000),
+            }
+            lines.append(json.dumps(env, separators=(",", ":")))
+        with open(os.path.join(out_dir, f"events-{i:05d}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    # strictly increasing mtimes, same rationale as write_change_stream
+    base_t = os.stat(os.path.join(out_dir, f"events-{n_files - 1:05d}.jsonl")).st_mtime
+    for i in range(n_files):
+        t = base_t + (i + 1) * 0.010
+        os.utime(os.path.join(out_dir, f"events-{i:05d}.jsonl"), (t, t))
+    return df
+
+
 def make_pages(n_urls: int, seed: int = 42) -> pd.DataFrame:
     """The F1 base table: one current row per url (initial snapshot before
     any change events; lsn semantics: loaded rows carry _lsn=0)."""
