@@ -136,6 +136,11 @@ class CdcPipeline:
     # records rows_malformed in lineage; "skip" drops silently.
     on_malformed: str = "error"
     dead_letter_dir: str | None = None
+    # zone maps: record per-file min/max for these columns at every commit
+    # (parquet footer stats, no extra scan); LakeTable.read_range prunes
+    # files by them — e.g. ("warc_ts", "_lsn") makes time-window scans and
+    # incremental LSN sweeps skip untouched files. Applies at CREATE time.
+    stats_cols: tuple[str, ...] = ()
 
     @property
     def changelog_policy(self) -> str:
@@ -160,6 +165,7 @@ class CdcPipeline:
             key_col=self.key_col,
             n_buckets=self.n_buckets,
             properties={EPOCH_PROP: "1"},
+            stats_cols=self.stats_cols,
         )
 
     # ------------------------------------------------------------ normalize

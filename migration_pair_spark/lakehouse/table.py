@@ -50,6 +50,72 @@ _SYSTEM_FIELDS = [
     T.StructField("_deleted", T.BooleanType(), True),
 ]
 
+#: column types zone maps support (read_range): totally ordered scalars whose
+#: parquet footer min/max round-trip through JSON. Binary and nested types
+#: are refused at create; date is excluded only because nothing here uses it.
+_STATS_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType,
+    T.StringType, T.BooleanType, T.TimestampType, T.TimestampNTZType,
+)
+
+
+def _stats_encode(v):
+    """A footer-stat or predicate-bound value as its JSON zone-map encoding.
+    Timestamps become epoch MICROS (naive == UTC: session TZ is pinned);
+    everything else is already JSON-scalar. Encodings are only ever compared
+    to encodings of the SAME column, so cross-type ordering never arises."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        us = datetime.timedelta(microseconds=1)
+        if v.tzinfo is not None:
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        else:
+            epoch = datetime.datetime(1970, 1, 1)
+        return (v - epoch) // us  # exact integer micros
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _footer_stats(
+    fp: str, stats_cols: list[str]
+) -> tuple[dict[str, list], int]:
+    """One written file's zone map from its parquet footer: {col: [min,
+    max]} (encoded per :func:`_stats_encode`) plus the row count. A column
+    is omitted when ANY row group lacks exact min/max for it (conservative:
+    no stats => never pruned). Spark writes stats through parquet-mr, whose
+    (rare) long-string truncation keeps min a valid lower bound and max a
+    valid upper bound, so pruning on them stays sound."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fp).metadata
+    if md.num_row_groups == 0:
+        return {}, 0
+    name_to_idx = {
+        md.row_group(0).column(j).path_in_schema: j
+        for j in range(md.row_group(0).num_columns)
+    }
+    out: dict[str, list] = {}
+    for c in stats_cols:
+        j = name_to_idx.get(c)
+        if j is None:
+            continue
+        lo = hi = None
+        ok = True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _stats_encode(st.min), _stats_encode(st.max)
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            out[c] = [lo, hi]
+    return out, md.num_rows
+
 
 @dataclass(frozen=True)
 class AddColumn:
@@ -114,9 +180,20 @@ class LakeTable:
         n_buckets: int = 16,
         properties: dict[str, str] | None = None,
         lww_order: tuple[str, ...] = ("warc_ts", "_lsn"),
+        stats_cols: tuple[str, ...] = (),
     ) -> "LakeTable":
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        phys = {f.name: f.dataType for f in schema.fields}
+        phys.update({f.name: f.dataType for f in _SYSTEM_FIELDS})
+        for c in stats_cols:
+            if c not in phys:
+                raise ValueError(f"stats_cols: unknown column {c!r}")
+            if not isinstance(phys[c], _STATS_TYPES):
+                raise ValueError(
+                    f"stats_cols: unsupported type {phys[c].simpleString()} "
+                    f"for {c!r} (numeric/string/boolean/timestamp only)"
+                )
         t = cls(spark, path)
         manifest = {
             "format_version": 1,
@@ -135,6 +212,10 @@ class LakeTable:
             "mor": False,  # derived: kept for readers; authoritative set below
             "mor_buckets": [],  # bucket ids holding unresolved delta files
             "lww_order": list(lww_order),
+            # zone maps: per-file min/max recorded for these columns at every
+            # commit (parquet footer stats — no data scan); read_range prunes
+            # files by them. Empty = zero overhead.
+            "stats_cols": list(stats_cols),
         }
         t._write_manifest(manifest)
         t._manifest = manifest
@@ -300,17 +381,34 @@ class LakeTable:
     ) -> dict[int, list[dict]]:
         """Map one transaction directory's output back to manifest entries:
         {bucket id: [{path, schema_version}, ...]} — the single place the
-        file-entry format lives (all four commit paths share it)."""
+        file-entry format lives (all commit paths share it). When the table
+        declares ``stats_cols``, each entry also carries that file's zone
+        map ({"stats": {col: [min, max]}, "rows": n}) read from the parquet
+        FOOTER — no data scan. Footer reads here are driver-side and O(new
+        files); on a real cluster the same stats would ride back from the
+        write tasks, but either way the input is metadata the writer
+        already produced."""
         out: dict[int, list[dict]] = {}
+        # manifest stats_cols are creation-time names; files are written
+        # under CURRENT names — chase the rename history forward so stats
+        # keep being recorded across renames (read maps back per entry via
+        # _name_at_version)
+        stats_cols = [
+            self._current_name(c) for c in self.manifest.get("stats_cols") or []
+        ]
         for bdir in glob.glob(os.path.join(tx_dir, "_bucket=*")):
             b = int(os.path.basename(bdir).split("=", 1)[1])
             for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
-                out.setdefault(b, []).append(
-                    {
-                        "path": os.path.relpath(fp, self.path),
-                        "schema_version": schema_version,
-                    }
-                )
+                entry = {
+                    "path": os.path.relpath(fp, self.path),
+                    "schema_version": schema_version,
+                }
+                if stats_cols:
+                    st, rows = _footer_stats(fp, stats_cols)
+                    entry["rows"] = rows
+                    if st:
+                        entry["stats"] = st
+                out.setdefault(b, []).append(entry)
         return out
 
     # ------------------------------------------------------------- read path
@@ -544,6 +642,92 @@ class LakeTable:
         df = df if df is not None else self._empty_df()
         if resolve and self.manifest.get("mor"):
             df = self._lww_resolve(df)
+        return df
+
+    def _current_name(self, name: str) -> str:
+        """A column name chased forward through the rename history to its
+        current spelling."""
+        for r in self.manifest["renames"]:
+            if r["old"] == name:
+                name = r["new"]
+        return name
+
+    def _name_at_version(self, current: str, ver: int) -> str:
+        """A CURRENT column name as it was spelled at schema version
+        ``ver`` (walks the rename history backwards; zone-map stats are
+        recorded under write-time names)."""
+        name = current
+        for r in reversed(self.manifest["renames"]):
+            if r["at_schema_version"] > ver and r["new"] == name:
+                name = r["old"]
+        return name
+
+    def prune_entries(
+        self, entries: list[dict], col: str, lo=None, hi=None
+    ) -> tuple[list[dict], int]:
+        """Zone-map file pruning: drop entries whose recorded [min, max]
+        for ``col`` provably misses [lo, hi] (either bound may be None =
+        unbounded). Entries without stats for the column are KEPT — pruning
+        is only ever an optimization. Returns (kept, n_skipped)."""
+        lo_e = _stats_encode(lo) if lo is not None else None
+        hi_e = _stats_encode(hi) if hi is not None else None
+        kept: list[dict] = []
+        skipped = 0
+        for e in entries:
+            st = (e.get("stats") or {}).get(
+                self._name_at_version(col, e["schema_version"])
+            )
+            if st is not None and (
+                (hi_e is not None and st[0] > hi_e)
+                or (lo_e is not None and st[1] < lo_e)
+            ):
+                skipped += 1
+                continue
+            kept.append(e)
+        return kept, skipped
+
+    def read_range(
+        self, col: str, lo=None, hi=None, include_tombstones: bool = False
+    ) -> DataFrame:
+        """``read()`` restricted to ``lo <= col <= hi`` (either bound may
+        be None), with manifest-level FILE pruning by the table's zone maps
+        before the scan plans — the beyond-bucket-pruning scan path for
+        range predicates the bucket hash can't help with (time windows over
+        ``warc_ts``, incremental ``_lsn`` sweeps). Semantically identical
+        to ``read().filter(col BETWEEN lo AND hi)`` (pinned in
+        tests/test_zonemaps.py): surviving files still apply the predicate
+        (parquet row-group pushdown inside them), null values never match,
+        and MOR buckets skip file pruning entirely (their winner is only
+        known after resolving ALL delta files, so dropping one by value
+        range could resurrect an older row — the filter still applies after
+        resolution)."""
+        pred_col = col
+        if col not in {f.name for f in self.schema.fields} | set(SYSTEM_COLS):
+            raise ValueError(f"read_range: unknown column {col!r}")
+        mor_set = self.mor_buckets if self.manifest.get("mor") else set()
+        entries: list[dict] = []
+        for b, files in self.manifest["buckets"].items():
+            if int(b) in mor_set:
+                entries.extend(files)
+            else:
+                kept, _ = self.prune_entries(files, col, lo, hi)
+                entries.extend(kept)
+        df = self._read_files(entries)
+        if df is None:
+            df = self._empty_df()
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(pred_col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(pred_col) <= F.lit(hi))
+        if self.manifest.get("mor"):
+            df = self._lww_resolve(df).filter(pred)
+        else:
+            df = df.filter(pred)
+        if not include_tombstones:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
+                *SYSTEM_COLS
+            )
         return df
 
     def bucket_expr(self, col: str | None = None) -> F.Column:

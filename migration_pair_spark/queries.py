@@ -1532,3 +1532,193 @@ def incremental_chunk_dedup(spark, sf_dir):
         return res["rewritten"]  # localCheckpointed — safe after rmtree
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# D. Webtext URL + PII operators (functions/webtext.py)
+# --------------------------------------------------------------------------
+
+@q(
+    "url_canonicalize_docs",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(doc_id % 50 AS VARCHAR) AS k,
+             CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END AS scheme,
+             doc_id % 4 AS hm, doc_id % 5 AS qm, doc_id % 6 AS pm
+      FROM documents
+    ), h AS (
+      SELECT *,
+        CASE hm WHEN 0 THEN 'www.site'||k||'.example'
+                WHEN 1 THEN 'site'||k||'.example'
+                WHEN 2 THEN 'blog.site'||k||'.co.uk'
+                ELSE 'm.site'||k||'.example' END AS host,
+        CASE hm WHEN 1 THEN ':8080'
+                WHEN 2 THEN CASE WHEN scheme='https' THEN '' ELSE ':443' END
+                WHEN 3 THEN CASE WHEN scheme='http' THEN '' ELSE ':80' END
+                ELSE '' END AS port
+      FROM p
+    )
+    SELECT doc_id,
+      scheme||'://'||host||port||
+      CASE WHEN pm = 0 THEN '/' ELSE '/p/'||doc_id END ||
+      CASE qm WHEN 0 THEN '?a=1&b=2' WHEN 1 THEN '?a=1'
+              WHEN 4 THEN '?y=8&z=9' ELSE '' END AS canon_url,
+      host,
+      CASE WHEN hm = 2 THEN 'site'||k||'.co.uk'
+           ELSE 'site'||k||'.example' END AS domain
+    FROM h
+    """,
+    "URL canonicalization (functions/webtext.py): messy crawl URLs planted "
+    "from doc_id (mixed-case scheme/host, userinfo, default and non-default "
+    "ports, empty paths, tracking params in shuffled order, fragments) are "
+    "canonicalized by the ENGINE's regexp+HOF pipeline; the oracle assembles "
+    "the expected canonical form directly from the planted parts — ground "
+    "truth by construction, so the parser must actually normalize every "
+    "rule to match. Pure Catalyst, no shuffle, no Python stage",
+)
+def url_canonicalize_docs(spark, sf_dir):
+    from migration_pair_spark.functions import webtext as wt
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    k = (did % 50).cast("string")
+    scheme_raw = F.when(did % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+    host_raw = (
+        F.when(did % 4 == 0, F.concat(F.lit("WWW.Site"), k, F.lit(".example")))
+        .when(did % 4 == 1, F.concat(F.lit("site"), k, F.lit(".example:8080")))
+        .when(did % 4 == 2, F.concat(F.lit("blog.Site"), k, F.lit(".CO.UK:443")))
+        .otherwise(F.concat(F.lit("user:pw@M.Site"), k, F.lit(".example:80")))
+    )
+    path_raw = F.when(did % 6 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), did.cast("string"))
+    )
+    q_raw = (
+        F.when(did % 5 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(did % 5 == 1, F.lit("?a=1"))
+        .when(did % 5 == 2, F.lit("?utm_campaign=x"))
+        .when(did % 5 == 4, F.lit("?z=9&y=8"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(did % 7 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    raw = F.concat(scheme_raw, F.lit("://"), host_raw, path_raw, q_raw, frag)
+    host = wt.url_host(raw)
+    return d.select(
+        "doc_id",
+        wt.canonical_url(raw).alias("canon_url"),
+        host.alias("host"),
+        wt.registrable_domain(host).alias("domain"),
+    )
+
+
+@q(
+    "domain_rollup_docs",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             CAST(doc_id % 50 AS VARCHAR) AS k,
+             doc_id % 4 AS hm
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+        CASE hm WHEN 0 THEN 'www.site'||k||'.example'
+                WHEN 1 THEN 'site'||k||'.example'
+                WHEN 2 THEN 'blog.site'||k||'.co.uk'
+                ELSE 'm.site'||k||'.example' END AS host,
+        CASE WHEN hm = 2 THEN 'site'||k||'.co.uk'
+             ELSE 'site'||k||'.example' END AS domain
+      FROM p
+    )
+    SELECT domain,
+           count(*) AS n_docs,
+           count(DISTINCT host) AS n_hosts
+    FROM h GROUP BY domain
+    """,
+    "per-registrable-domain rollup over engine-extracted hosts/domains "
+    "(webtext.url_host + registrable_domain incl. the co.uk second-level "
+    "rule) — the per-site corpus budget / crawl-politeness aggregation; "
+    "one partial-agg shuffle on domain",
+)
+def domain_rollup_docs(spark, sf_dir):
+    from migration_pair_spark.functions import webtext as wt
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    k = (did % 50).cast("string")
+    host_raw = (
+        F.when(did % 4 == 0, F.concat(F.lit("WWW.Site"), k, F.lit(".example")))
+        .when(did % 4 == 1, F.concat(F.lit("site"), k, F.lit(".example:8080")))
+        .when(did % 4 == 2, F.concat(F.lit("blog.Site"), k, F.lit(".CO.UK:443")))
+        .otherwise(F.concat(F.lit("user:pw@M.Site"), k, F.lit(".example:80")))
+    )
+    raw = F.concat(F.lit("http://"), host_raw, F.lit("/"))
+    host = wt.url_host(raw)
+    return (
+        d.select(host.alias("host"), wt.registrable_domain(host).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
+
+
+@q(
+    "pii_scrub_docs",
+    """
+    WITH x AS (
+      SELECT doc_id,
+             text || ' Contact user' || (doc_id % 97) || '@mail' ||
+             (doc_id % 7) || '.example or 10.' || (doc_id % 200) || '.' ||
+             ((doc_id * 3) % 256) || '.' || (doc_id % 256) || ' or +49 ' ||
+             (100 + doc_id % 900) || ' ' || (1000 + doc_id % 9000) || '.'
+             AS t2
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t2,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(t2,
+        '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(t2,
+        '\\+[0-9]{1,3} [0-9]{2,4} [0-9]{3,6}')) AS BIGINT) AS n_phones,
+      md5(regexp_replace(regexp_replace(regexp_replace(t2,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b', '<IP>', 'g'),
+        '\\+[0-9]{1,3} [0-9]{2,4} [0-9]{3,6}', '<PHONE>', 'g')) AS scrub_md5
+    FROM x
+    """,
+    "PII scrubbing (webtext.scrub_pii/pii_counts): emails, IPv4s and phone "
+    "numbers planted into each document are counted and replaced by typed "
+    "tokens; the oracle runs the SAME RE2-compatible patterns in DuckDB "
+    "(with 'g'), so count AND md5-of-scrubbed-text must agree byte-for-"
+    "byte. Pure Catalyst regexp chain, no shuffle",
+)
+def pii_scrub_docs(spark, sf_dir):
+    from migration_pair_spark.functions import webtext as wt
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+
+    def s(x):
+        return x.cast("string")
+
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), s(did % 97),
+        F.lit("@mail"), s(did % 7),
+        F.lit(".example or 10."), s(did % 200),
+        F.lit("."), s((did * 3) % 256),
+        F.lit("."), s(did % 256),
+        F.lit(" or +49 "), s(did % 900 + 100),
+        F.lit(" "), s(did % 9000 + 1000),
+        F.lit("."),
+    )
+    c = wt.pii_counts(t2)
+    return d.select(
+        "doc_id",
+        c["n_emails"].cast("long").alias("n_emails"),
+        c["n_ipv4"].cast("long").alias("n_ipv4"),
+        c["n_phones"].cast("long").alias("n_phones"),
+        F.md5(wt.scrub_pii(t2).cast("binary")).alias("scrub_md5"),
+    )

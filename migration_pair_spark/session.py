@@ -61,6 +61,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT64 micros, not the legacy INT96: INT96 timestamps carry NO
+        # parquet min/max statistics, which would silently disable the
+        # lakehouse zone maps (table.py read_range) for every timestamp
+        # column; micros is also what pyarrow/DuckDB read natively.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")

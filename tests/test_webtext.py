@@ -1,0 +1,122 @@
+"""Webtext URL canonicalization + PII scrubbing (functions/webtext.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from migration_pair_spark.functions import webtext as wt
+
+
+def _one(spark, url: str, expr_fn):
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(expr_fn(F.col("u")).alias("x")).collect()[0]["x"]
+
+
+CANON_CASES = [
+    # default ports drop; non-default kept
+    ("http://Example.COM:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),  # not https default
+    # userinfo stripped, scheme case folded
+    ("HTTPS://user:pw@Host.Example/x", "https://host.example/x"),
+    # empty path -> "/", fragment dropped
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com#frag", "http://example.com/"),
+    ("http://example.com/p#frag", "http://example.com/p"),
+    # tracking params dropped, remainder sorted; "?" omitted when empty
+    ("http://e.com/p?utm_source=x&b=2&a=1", "http://e.com/p?a=1&b=2"),
+    ("http://e.com/p?UTM_Campaign=x", "http://e.com/p"),
+    ("http://e.com/p?gclid=1&fbclid=2&ref=3", "http://e.com/p"),
+    ("http://e.com/p?z=1&y=2", "http://e.com/p?y=2&z=1"),
+    # path case preserved (paths are case-sensitive)
+    ("http://e.com/CaseSensitive/Path", "http://e.com/CaseSensitive/Path"),
+    # garbage -> NULL
+    ("not a url", None),
+    ("mailto:x@y.z", None),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "u string")
+    got = [
+        r["c"]
+        for r in df.select(wt.canonical_url(F.col("u")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_canonical_is_idempotent(spark):
+    urls = [u for u, want in CANON_CASES if want is not None]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(wt.canonical_url(F.col("u")).alias("c"))
+    twice = once.select(wt.canonical_url(F.col("c")).alias("c"))
+    assert [r["c"] for r in once.collect()] == [r["c"] for r in twice.collect()]
+
+
+def test_registrable_domain(spark):
+    cases = [
+        ("example.com", "example.com"),
+        ("www.example.com", "example.com"),
+        ("a.b.c.example.com", "example.com"),
+        ("blog.site.co.uk", "site.co.uk"),
+        ("site.co.uk", "site.co.uk"),
+        ("co.uk", "co.uk"),  # bare suffix: two labels pass through
+        ("localhost", "localhost"),
+        ("news.shop.com.au", "shop.com.au"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [
+        r["d"]
+        for r in df.select(wt.registrable_domain(F.col("h")).alias("d")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_scrub_pii_and_counts(spark):
+    text = (
+        "Mail alice.smith+x@sub.mail.example, backup bob@b.co. "
+        "Server 10.0.255.7 and 192.168.1.200, call +49 30 123456 now. "
+        "Not an IP: 999.1.1.1 stays (no octet > 255 matches whole)."
+    )
+    df = spark.createDataFrame([(text,)], "t string")
+    row = df.select(
+        wt.scrub_pii(F.col("t")).alias("s"), wt.pii_counts(F.col("t")).alias("c")
+    ).collect()[0]
+    s, c = row["s"], row["c"]
+    assert "<EMAIL>" in s and "alice" not in s and "bob@" not in s
+    assert s.count("<IP>") == 2 and "10.0.255.7" not in s
+    assert "<PHONE>" in s and "+49 30 123456" not in s
+    # 999.1.1.1: the leading 999 can never match a full dotted quad at \b
+    assert "999.1.1.1" in s
+    assert (c["n_emails"], c["n_ipv4"], c["n_phones"]) == (2, 2, 1)
+
+
+def test_email_scrubbed_before_ip_and_host_not_nibbled(spark):
+    # an email whose domain looks numeric must scrub as ONE email token,
+    # not leave a half-eaten address for the IP pass
+    text = "x 1.2.3.4@4.3.2.1.example y"
+    df = spark.createDataFrame([(text,)], "t string")
+    s = df.select(wt.scrub_pii(F.col("t")).alias("s")).collect()[0]["s"]
+    assert s == "x <EMAIL> y"
+
+
+def test_webtext_queries_have_no_python_stage(spark):
+    from migration_pair_spark.queries import REGISTRY
+
+    for name in ("url_canonicalize_docs", "domain_rollup_docs", "pii_scrub_docs"):
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        jvm = df.sparkSession._jvm
+        plan = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, name
+    # the two row-wise queries are shuffle-free
+    for name in ("url_canonicalize_docs", "pii_scrub_docs"):
+        df = REGISTRY[name].fn(spark, "/root/testdata/sf0.001")
+        jvm = df.sparkSession._jvm
+        plan = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "Exchange" not in plan, name
