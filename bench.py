@@ -68,6 +68,9 @@ HEADLINE_QUERIES = [
     "incremental_chunk_dedup",
     "incremental_dedup_docs",
     "incremental_embedding_neardup",
+    "debezium_roundtrip",
+    "url_canonicalize_docs",
+    "pii_scrub_docs",
 ]
 
 _WORKER = r"""

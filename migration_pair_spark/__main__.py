@@ -62,9 +62,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="debezium-json only: malformed-envelope policy")
     cr.add_argument("--dead-letter-dir", default=None,
                     help="DLQ directory for --on-malformed dead_letter")
+    cr.add_argument("--canonicalize-key", action="store_true",
+                    help="canonicalize the url key before LWW/bucketing "
+                         "(functions/webtext.canonical_url)")
 
     cp = sub.add_parser("compact")
     cp.add_argument("--table-path", required=True)
+    cp.add_argument("--sort-by", default=None,
+                    help="comma-separated columns: clustered compaction — "
+                         "sort rows within each bucket so zone maps get tight")
+    cp.add_argument("--max-rows-per-file", type=int, default=None,
+                    help="split each bucket into bounded sorted runs")
 
     de = sub.add_parser("describe")
     de.add_argument("--table-path", required=True)
@@ -225,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
             source_format=args.source_format,
             on_malformed=args.on_malformed,
             dead_letter_dir=args.dead_letter_dir,
+            canonicalize_key=args.canonicalize_key,
         )
         lineages = pipe.run_stream(
             spark, args.events, args.checkpoint,
@@ -235,7 +244,10 @@ def main(argv: list[str] | None = None) -> int:
         from migration_pair_spark.lakehouse.table import LakeTable
 
         table = LakeTable.load(spark, args.table_path)
-        version = table.compact()
+        version = table.compact(
+            sort_by=args.sort_by.split(",") if args.sort_by else None,
+            max_rows_per_file=args.max_rows_per_file,
+        )
         print(json.dumps({"snapshot": version}))
     elif args.cmd == "rescale":
         from migration_pair_spark.lakehouse.table import LakeTable

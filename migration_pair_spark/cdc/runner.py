@@ -141,6 +141,18 @@ class CdcPipeline:
     # files by them — e.g. ("warc_ts", "_lsn") makes time-window scans and
     # incremental LSN sweeps skip untouched files. Applies at CREATE time.
     stats_cols: tuple[str, ...] = ()
+    # clustered auto-compaction: when the follow loop compacts, sort rows
+    # within each bucket by these columns (and optionally split into
+    # bounded sorted runs) so the zone maps above get TIGHT — see
+    # LakeTable.compact
+    compact_sort_by: tuple[str, ...] = ()
+    compact_max_rows_per_file: int = 0
+    # canonicalize the key column (functions/webtext.canonical_url) before
+    # LWW/bucketing: crawl-URL variants of one page (case, default ports,
+    # tracking params, fragments) collapse into ONE key — fewer phantom
+    # rows AND less hot-key spread. Strings that don't parse as URLs keep
+    # their raw value (coalesce), so keys never become null.
+    canonicalize_key: bool = False
 
     @property
     def changelog_policy(self) -> str:
@@ -176,6 +188,13 @@ class CdcPipeline:
         df = batch
         if "language" in df.columns and "lang" in df.columns:
             df = df.withColumn("language", F.coalesce("language", "lang"))
+        if self.canonicalize_key:
+            from migration_pair_spark.functions.webtext import canonical_url
+
+            key = F.col(self.key_col)
+            df = df.withColumn(
+                self.key_col, F.coalesce(canonical_url(key), key)
+            )
         return df
 
     # ------------------------------------------------------------ batch apply
@@ -354,7 +373,11 @@ class CdcPipeline:
             return
         over = [b for b, n in table.files_per_bucket().items() if n > limit]
         if over:
-            version = table.compact(over)
+            version = table.compact(
+                over,
+                sort_by=list(self.compact_sort_by) or None,
+                max_rows_per_file=self.compact_max_rows_per_file or None,
+            )
             lineage["auto_compacted_buckets"] = over
             lineage["auto_compact_snapshot"] = version
             if self.changelog_dir is not None and self.changelog_policy == "on_compact":

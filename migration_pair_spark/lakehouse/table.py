@@ -351,7 +351,12 @@ class LakeTable:
             except FileNotFoundError:  # pragma: no cover
                 pass
 
-    def _table_write(self, df_with_bucket: DataFrame, tx_dir: str) -> None:
+    def _table_write(
+        self,
+        df_with_bucket: DataFrame,
+        tx_dir: str,
+        max_rows_per_file: int | None = None,
+    ) -> None:
         """The bucket-partitioned data write both commit paths share.
 
         Committer v2 + no _SUCCESS, scoped to TABLE writes only (per-write
@@ -363,12 +368,16 @@ class LakeTable:
         Plain parquet outputs elsewhere (e.g. curate's corpus export) keep
         the default v1 + _SUCCESS, whose staging-dir invisibility and
         completeness marker they DO rely on (review-caught, round 3)."""
-        (
+        w = (
             df_with_bucket.write.partitionBy("_bucket")
             .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
             .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-            .parquet(tx_dir, mode="errorifexists")
         )
+        if max_rows_per_file:
+            # bounded sorted runs (clustered compaction): each output file
+            # covers a narrow slice of the sort key, so zone maps get tight
+            w = w.option("maxRecordsPerFile", max_rows_per_file)
+        w.parquet(tx_dir, mode="errorifexists")
 
     def _next_manifest(self) -> dict:
         m = json.loads(json.dumps(self.manifest))  # deep copy
@@ -742,11 +751,13 @@ class LakeTable:
         touched_buckets: list[int],
         properties: dict[str, str] | None = None,
         lineage: dict | None = None,
+        max_rows_per_file: int | None = None,
     ) -> int:
         """Copy-on-write commit: ``df_with_bucket`` (physical schema + a
         ``_bucket`` int column) becomes the new content of ``touched_buckets``;
         all other buckets carry over untouched. Returns the new version.
-        """
+        ``max_rows_per_file`` bounds output file size (sorted-compaction
+        path — see :meth:`compact`)."""
         m = self._next_manifest()
         txid = f"tx-{m['version']:08d}-{uuid.uuid4().hex[:8]}"
         tx_rel = os.path.join("data", txid)
@@ -758,7 +769,7 @@ class LakeTable:
         # extra full shuffle of the merged output saves the single largest
         # data movement of a MERGE. Cost: up to one file per (task x bucket)
         # per snapshot instead of one per bucket — bounded by compact().
-        self._table_write(df_with_bucket, tx_dir)
+        self._table_write(df_with_bucket, tx_dir, max_rows_per_file)
 
         # Map the written files back into the manifest, bucket by bucket.
         new_files = self._collect_written_files(tx_dir, m["schema_version"])
@@ -856,11 +867,29 @@ class LakeTable:
             full, list(range(self.n_buckets)), properties, lineage
         )
 
-    def compact(self, bucket_ids: list[int] | None = None) -> int:
+    def compact(
+        self,
+        bucket_ids: list[int] | None = None,
+        sort_by: list[str] | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> int:
         """Maintenance: fold each chosen bucket into one file per bucket —
         LWW-resolving merge-on-read deltas (one surviving row per key) and
         bounding the read amplification both write paths accumulate. A full
-        compaction clears the table's merge-on-read state."""
+        compaction clears the table's merge-on-read state.
+
+        CLUSTERED compaction (the OPTIMIZE ... ZORDER-lite this table
+        format supports): ``sort_by`` orders rows by those columns within
+        each bucket (a per-partition sort — no extra shuffle beyond the
+        bucket repartition that's already here), and ``max_rows_per_file``
+        splits each bucket into bounded sorted runs. Together with
+        ``stats_cols`` zone maps this makes every output file cover a
+        NARROW slice of the sort key, so ``read_range`` on that key prunes
+        most of a bucket instead of reading all of it — the way a 100-TB
+        table keeps time-window scans O(window), not O(table). Row order
+        inside a snapshot is semantically free (reads LWW-resolve or are
+        already one-row-per-key), so clustering never changes results
+        (pinned in tests/test_sorted_compaction.py)."""
         buckets = bucket_ids if bucket_ids is not None else [
             int(b) for b, files in self.manifest["buckets"].items() if files
         ]
@@ -870,8 +899,17 @@ class LakeTable:
             "_bucket", self.bucket_expr()
         )
         compacted = df.repartition(len(buckets), F.col("_bucket"))
+        if sort_by:
+            compacted = compacted.sortWithinPartitions("_bucket", *sort_by)
         version = self.replace_buckets(
-            compacted, buckets, lineage={"compaction": True, "buckets": buckets}
+            compacted,
+            buckets,
+            lineage={
+                "compaction": True,
+                "buckets": buckets,
+                **({"sort_by": sort_by} if sort_by else {}),
+            },
+            max_rows_per_file=max_rows_per_file,
         )
         # per-bucket accounting: compacted buckets are resolved; the global
         # flag clears when NO bucket holds deltas (review-caught: a single

@@ -120,3 +120,52 @@ def test_webtext_queries_have_no_python_stage(spark):
             jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
         )
         assert "Exchange" not in plan, name
+
+
+def test_cdc_canonicalize_key_collapses_url_variants(spark, tmp_path):
+    """CdcPipeline(canonicalize_key=True) must produce the SAME final state
+    as running the default pipeline on pre-canonicalized events — and URL
+    variants of one page collapse into one LWW key."""
+    import datetime
+
+    from migration_pair_spark.cdc.runner import CdcPipeline
+    from migration_pair_spark.lakehouse.table import LakeTable
+
+    base_ts = datetime.datetime(2024, 1, 1)
+    variants = [
+        "HTTP://E.com:80/p?b=2&a=1",
+        "http://e.com/p?a=1&b=2",
+        "http://e.com/p?utm_source=z&a=1&b=2#frag",
+    ]
+    canon = "http://e.com/p?a=1&b=2"
+    rows = [
+        (i + 1, "update", variants[i % 3],
+         base_ts + datetime.timedelta(seconds=i),
+         f"<html><body>rev {i}</body></html>".encode(), "en", 1)
+        for i in range(6)
+    ] + [
+        (7, "insert", "not a url", base_ts,
+         b"<html><body>junk</body></html>", "zz", 1),
+        (8, "insert", "https://other.example/q", base_ts,
+         b"<html><body>other</body></html>", "en", 1),
+    ]
+    ddl = ("change_lsn long, op string, url string, warc_ts timestamp, "
+           "html binary, lang string, schema_epoch int")
+    raw = spark.createDataFrame(rows, ddl)
+    pre = [(r[0], r[1], canon if r[2] in variants else r[2], *r[3:]) for r in rows]
+    pre_df = spark.createDataFrame(pre, ddl)
+
+    pa = CdcPipeline(table_path=str(tmp_path / "a"), n_buckets=4,
+                     canonicalize_key=True)
+    pa.apply_batch(spark, raw)
+    pb = CdcPipeline(table_path=str(tmp_path / "b"), n_buckets=4)
+    pb.apply_batch(spark, pre_df)
+
+    sa = sorted(tuple(r) for r in LakeTable.load(spark, pa.table_path).read().collect())
+    sb = sorted(tuple(r) for r in LakeTable.load(spark, pb.table_path).read().collect())
+    assert sa == sb
+    urls = [r[0] for r in sa]
+    assert urls.count(canon) == 1          # variants collapsed, latest won
+    assert "not a url" in urls             # garbage key kept raw, not null
+    winner = [r for r in sa if r[0] == canon][0]
+    assert b"rev 5" in bytes(winner[2])
