@@ -146,6 +146,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="optionally write the batch's rewritten docs "
                          "parquet here")
 
+    ds2 = sub.add_parser("dedup-sweep")
+    ds2.add_argument("--table-path", required=True,
+                     help="CDC pages table to sweep (new row versions by "
+                          "_lsn above the index's own watermark)")
+    ds2.add_argument("--index-root", required=True,
+                     help="chunk-index root (created on first sweep)")
+    ds2.add_argument("--text-col", default="text")
+    ds2.add_argument("--w", type=int, default=8,
+                     help="chunk width in words (create-time only)")
+
     ds = sub.add_parser("dedup-stream")
     ds.add_argument("--root", required=True)
     ds.add_argument("--docs", required=True,
@@ -315,6 +325,28 @@ def main(argv: list[str] | None = None) -> int:
                 args.export_rewritten, mode="errorifexists"
             )
             out["exported"] = args.export_rewritten
+        print(json.dumps(out))
+    elif args.cmd == "dedup-sweep":
+        import os as _os
+
+        from migration_pair_spark.lakehouse.table import LakeTable
+        from migration_pair_spark.operators.cdc_dedup import sweep_into_chunk_index
+        from migration_pair_spark.operators.incremental import IncrementalChunkIndex
+
+        pages = LakeTable.load(spark, args.table_path)
+        if LakeTable.exists(_os.path.join(args.index_root, "corpus")):
+            cix = IncrementalChunkIndex(spark, args.index_root)
+        else:
+            cix = IncrementalChunkIndex.create(spark, args.index_root, w=args.w)
+        res = sweep_into_chunk_index(pages, cix, text_col=args.text_col)
+        out = {
+            k: res.get(k)
+            for k in (
+                "replayed", "healed", "empty", "n_new", "n_chunks", "n_kept",
+                "sweep_from_lsn", "corpus_version", "index_version",
+            )
+            if k in res
+        }
         print(json.dumps(out))
     elif args.cmd == "dedup-stream":
         import os as _os

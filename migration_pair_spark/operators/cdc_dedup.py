@@ -1,0 +1,79 @@
+"""CDC -> dedup bridge: sweep a pages table's NEW row versions into an
+incremental chunk-dedup index.
+
+This closes the loop between the engine's two halves: the CDC tail keeps a
+lake table of current web pages (cdc/runner.py), and the incremental dedup
+family keeps a persisted chunk-key index of everything a training corpus
+has already seen (operators/incremental.py). A re-crawled page usually
+changes in part — boilerplate and untouched paragraphs are already in the
+index, so sweeping each UPDATED VERSION through chunk-level dedup admits
+only its genuinely novel spans into the corpus (the CCNet-style
+"1 TB/day of crawl churn -> deduped training text" pipeline).
+
+How a sweep finds its input — zone maps, not a second bookkeeping system:
+
+- every current row in the pages table carries ``_lsn`` = the change event
+  that produced it (COW carries untouched rows' old ``_lsn`` forward), so
+  "row versions that appeared since X" is exactly
+  ``read_range("_lsn", lo=X+1)``;
+- the watermark X is DERIVED from the chunk index itself: doc ids in the
+  index's corpus ARE the swept ``_lsn`` values, and the dedup gate already
+  persists their applied intervals atomically with each commit — so there
+  is no separate sweep state to desync or lose. A crash anywhere replays
+  the same sweep; the gate makes the replay idempotent;
+- with ``stats_cols=("_lsn",)`` on the pages table the sweep scan PRUNES
+  every file whose whole zone predates the watermark — steady-state sweep
+  cost is O(files touched since last sweep), not O(table)
+  (tests/test_cdc_dedup_sweep.py pins the skip count).
+
+``_lsn`` satisfies the index gate's contracts for free: unique per event
+(WAL order) and monotone across sweeps (each sweep reads strictly above
+the previous high).
+
+Deletes are skipped (a removed page contributes no text; its previously
+accepted spans stay accepted — dedup acceptance is never retracted, same
+contract as the index heal path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from migration_pair_spark.lakehouse.table import LakeTable
+from migration_pair_spark.operators.incremental import (
+    IncrementalChunkIndex,
+    applied_ranges,
+)
+
+
+def sweep_watermark(ix: IncrementalChunkIndex) -> int:
+    """The highest pages-table ``_lsn`` already swept into the index:
+    the top of the index corpus's committed doc-id intervals (0 when the
+    index is empty). Derived, never stored separately."""
+    ranges = applied_ranges(ix.corpus)
+    return max((hi for _, hi in ranges), default=0)
+
+
+def sweep_into_chunk_index(
+    pages: LakeTable,
+    ix: IncrementalChunkIndex,
+    text_col: str = "text",
+    batch_id: str | None = None,
+) -> dict:
+    """One sweep: ingest every page row version with ``_lsn`` above the
+    index's watermark as a (doc_id=_lsn, text) batch. Returns the index
+    ingest result plus sweep accounting. Idempotent: an immediate re-sweep
+    is empty; a crash-replayed sweep is absorbed by the index gate."""
+    pages.refresh()
+    wm = sweep_watermark(ix)
+    new = (
+        pages.read_range("_lsn", lo=wm + 1, include_tombstones=True)
+        .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col("_lsn").alias("doc_id"), F.col(text_col).alias("text")
+        )
+    )
+    out = ix.ingest(new, batch_id or f"sweep-lsn-gt-{wm}")
+    out["sweep_from_lsn"] = wm + 1
+    return out

@@ -517,8 +517,16 @@ def chunk_rows(
     key; ``occ`` packs ``(id, cpos)`` into one BIGINT (bit bounds in the
     :func:`chunk_dedup` docstring) so keeper selection stays a
     hash-aggregable ``min``. Narrow: split + transform + posexplode, no
-    shuffle."""
-    words = F.split(F.col(text_col), " ")
+    shuffle.
+
+    Tokenization: trim + split on ``\\s+`` — extracted web text joins
+    paragraphs with newlines, and a literal-space split would fuse
+    "...hotel\\nindia..." into ONE token, silently misaligning every chunk
+    after a paragraph break (caught by the CDC-sweep bridge test). The
+    DuckDB twin (:func:`chunk_dedup_oracle_sql`) splits identically;
+    chunk keys are a function of the tokenizer, so the two must only ever
+    change in lockstep (persisted chunk indexes embed these keys)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_chunks = F.ceil(F.size(words) / F.lit(w)).cast("int")
     chunk_arr = F.transform(
         F.sequence(F.lit(0), n_chunks - F.lit(1)),
@@ -574,8 +582,9 @@ def chunk_dedup_oracle_sql(
     return f"""
         WITH words AS (
             SELECT {id_col},
-                   unnest(string_split({text_col}, ' ')) AS word,
-                   generate_subscripts(string_split({text_col}, ' '), 1) AS pos
+                   unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS word,
+                   generate_subscripts(
+                       regexp_split_to_array(trim({text_col}), '\\s+'), 1) AS pos
             FROM {table}
         ), chunks AS (
             SELECT {id_col}, CAST((pos - 1) // {w} AS BIGINT) AS cpos,

@@ -233,3 +233,70 @@ def test_subtract_ranges_is_exact_set_difference(intervals, applied):
     assert _expand(merge_ranges(applied_m + diff)) == (
         _expand(applied_m) | (_expand(intervals_m) - _expand(applied_m))
     )
+
+
+# -- URL canonicalization (functions/webtext.py) -----------------------------
+
+_label = st.text(alphabet="abXY9-", min_size=1, max_size=6).filter(
+    lambda s: not s.startswith("-") and not s.endswith("-")
+)
+_url_parts = st.tuples(
+    st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    st.sampled_from(["", "user:pw@", "u@"]),                  # userinfo
+    st.lists(_label, min_size=1, max_size=3),                 # host labels
+    st.sampled_from(["", ":80", ":443", ":8080"]),            # port
+    st.sampled_from(["", "/", "/p", "/A/b"]),                 # path
+    st.lists(                                                  # query params
+        st.sampled_from(["a=1", "b=2", "z=", "utm_source=x", "ref=r"]),
+        max_size=3,
+    ),
+    st.sampled_from(["", "#f", "#a b"]),                      # fragment
+)
+
+
+def _assemble(parts):
+    scheme, userinfo, labels, port, path, params, frag = parts
+    host = ".".join(labels)
+    q = ("?" + "&".join(params)) if params else ""
+    return f"{scheme}://{userinfo}{host}{port}{path}{q}{frag}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_url_parts, min_size=1, max_size=20))
+def test_canonical_url_idempotent_and_part_exact(spark, parts_list):
+    """For any URL assembled from known components: canonicalization is
+    idempotent, and every output equals the canonical form computed by a
+    pure-Python model of the documented rules."""
+    from migration_pair_spark.functions import webtext as wt
+    from pyspark.sql import functions as F
+
+    urls = [_assemble(p) for p in parts_list]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = [
+        r["c"] for r in df.select(wt.canonical_url(F.col("u")).alias("c")).collect()
+    ]
+    df2 = spark.createDataFrame([(c,) for c in once], "c string")
+    twice = [
+        r["o"] for r in df2.select(wt.canonical_url(F.col("c")).alias("o")).collect()
+    ]
+    assert once == twice
+
+    def model(parts):
+        scheme, _ui, labels, port, path, params, _frag = parts
+        scheme = scheme.lower()
+        host = ".".join(labels).lower()
+        keep_port = port not in ("", ":80" if scheme == "http" else ":443")
+        netloc = host + (port if keep_port and port else "")
+        path = path or "/"
+        keep = sorted(
+            p for p in params
+            if not p.lower().startswith(("utm_", "ref="))
+        )
+        q = ("?" + "&".join(keep)) if keep else ""
+        return f"{scheme}://{netloc}{path}{q}"
+
+    assert once == [model(p) for p in parts_list]
