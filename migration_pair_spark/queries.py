@@ -250,7 +250,11 @@ def debezium_roundtrip(spark, sf_dir):
         to_debezium_json,
     )
 
-    ev = t(spark, sf_dir, "events").select(
+    ev = _spread(
+        spark,
+        t(spark, sf_dir, "events"),
+        "event_id",
+    ).select(
         "event_id",
         F.col("ts").cast("timestamp").alias("ts"),
         "user_id",
@@ -1721,4 +1725,83 @@ def pii_scrub_docs(spark, sf_dir):
         c["n_ipv4"].cast("long").alias("n_ipv4"),
         c["n_phones"].cast("long").alias("n_phones"),
         F.md5(wt.scrub_pii(t2).cast("binary")).alias("scrub_md5"),
+    )
+
+
+@q(
+    "repeated_chunks_docs",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS word,
+               generate_subscripts(
+                   regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, CAST((pos - 1) // 8 AS BIGINT) AS cpos,
+               string_agg(word, ' ' ORDER BY pos) AS chunk
+        FROM words GROUP BY doc_id, (pos - 1) // 8
+    )
+    SELECT chunk, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM chunks GROUP BY chunk
+    HAVING count(*) >= 3
+    """,
+    "corpus-level boilerplate detection: 8-word chunks (dedup.chunk_rows — "
+    "the same tokenizer/keys the chunk index persists) whose corpus "
+    "frequency >= 3, with occurrence and distinct-doc counts — the "
+    "diagnostic behind drop-frequent-span policies. One partial-agg "
+    "shuffle on the chunk key",
+)
+def repeated_chunks_docs(spark, sf_dir):
+    d = _spread(spark, t(spark, sf_dir, "documents"), "doc_id")
+    chunks = dd.chunk_rows(d.select("doc_id", "text"))
+    return (
+        chunks.groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 3)
+    )
+
+
+@q(
+    "pack_sequences_docs",
+    """
+    WITH tc AS (
+        SELECT doc_id,
+               CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 512 AS BIGINT) AS seq_id
+    FROM tc
+    """,
+    "training-sequence packing: documents in deterministic doc_id order "
+    "are packed into 512-token context windows — each doc's sequence id is "
+    "floor(cumulative-tokens-before-it / 512) (streaming concat-and-chop "
+    "semantics; a doc may straddle two windows, as packed pretraining data "
+    "does). One window over a single global sort key; at cluster scale the "
+    "same op runs per shard (range-partition by id, offset by per-shard "
+    "totals) — the oracle pins the single-shard semantics",
+)
+def pack_sequences_docs(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    tc = d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return tc.select(
+        "doc_id",
+        "n_tokens",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512)
+        .cast("long")
+        .alias("seq_id"),
     )
