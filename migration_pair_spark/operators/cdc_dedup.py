@@ -33,6 +33,13 @@ the previous high).
 Deletes are skipped (a removed page contributes no text; its previously
 accepted spans stay accepted — dedup acceptance is never retracted, same
 contract as the index heal path).
+
+Scope contract: a sweep covers CHANGE-DERIVED rows (``_lsn >= 1``, WAL
+order). Rows loaded by a snapshot backfill carry ``_lsn = 0`` (many rows,
+one lsn — no usable per-row id) and are deliberately never swept; seed the
+index from a snapshot with an explicit one-off ``chunk-ingest`` batch
+(caller-chosen doc ids) before tailing, exactly like seeding any other
+downstream consumer from the snapshot + changelog pair.
 """
 
 from __future__ import annotations
