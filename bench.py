@@ -236,11 +236,16 @@ def main() -> None:
     # number at sandbox batch sizes; 3 timed reps + adaptive extension ride
     # out hypervisor-steal spikes (min is the honest statistic — steal only
     # inflates).
-    # 8M default: the per-batch serial residue is FIXED (~1.2-2 s), so the
-    # N->4N efficiency is a function of batch size (measured: 0.72 at 4M,
-    # 0.83 at 8M — BENCH/BASELINE.md); the north rule's 10^10 regime sits
-    # far down the same curve, so the largest practical in-box batch is the
-    # most representative measurement, not the smallest.
+    # 8M default: the per-batch serial residue is FIXED (~2.1 s), so the
+    # N->4N efficiency rises with batch size (0.72-0.78 at 4M, 0.79-0.83
+    # at 8M) — BUT past ~8-10M the 8-CORE side hits a box-level write-
+    # bandwidth ceiling this single-VM sandbox shares across all executors
+    # (measured round 5: 10M -> 0.797, 12M -> 0.703 with ZERO steal waits
+    # and write_commit 12% above linear at 8 cores, while the 2-core side
+    # stays exactly linear). A real cluster gives each executor its own
+    # disks/NIC, so the ceiling is a sandbox artifact and 8M is the
+    # sweet-spot measurement point; the Amdahl fit in the output makes the
+    # fixed residue explicit either way (BENCH/BASELINE.md, round-5 curve).
     n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "8000000"))
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     low, high = 2, 8  # N and 4N; see BENCH/BASELINE.md for why not 8/32

@@ -146,6 +146,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="optionally write the batch's rewritten docs "
                          "parquet here")
 
+    pb = sub.add_parser("publish")
+    pb.add_argument("--table-path", required=True)
+    pb.add_argument("--out", required=True,
+                    help="publish root; each snapshot lands under v{N}/ "
+                         "with a _PUBLISHED marker (idempotent per version)")
+    pb.add_argument("--partition-by", default=None,
+                    help="comma-separated partition columns (e.g. language)")
+    pb.add_argument("--version", type=int, default=None,
+                    help="publish a specific snapshot (default: current)")
+
     ds2 = sub.add_parser("dedup-sweep")
     ds2.add_argument("--table-path", required=True,
                      help="CDC pages table to sweep (new row versions by "
@@ -326,6 +336,22 @@ def main(argv: list[str] | None = None) -> int:
             )
             out["exported"] = args.export_rewritten
         print(json.dumps(out))
+    elif args.cmd == "publish":
+        from migration_pair_spark.lakehouse.table import LakeTable
+        from migration_pair_spark.sources.publish import publish_snapshot
+
+        table = LakeTable.load(spark, args.table_path)
+        d = publish_snapshot(
+            table, args.out,
+            partition_by=tuple(
+                args.partition_by.split(",") if args.partition_by else ()
+            ),
+            version=args.version,
+        )
+        print(json.dumps({
+            "published": d, "already_published": d is None,
+            "version": args.version or table.version,
+        }))
     elif args.cmd == "dedup-sweep":
         import os as _os
 

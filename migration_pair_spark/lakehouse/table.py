@@ -686,10 +686,18 @@ class LakeTable:
             st = (e.get("stats") or {}).get(
                 self._name_at_version(col, e["schema_version"])
             )
-            if st is not None and (
-                (hi_e is not None and st[0] > hi_e)
-                or (lo_e is not None and st[1] < lo_e)
-            ):
+            try:
+                miss = st is not None and (
+                    (hi_e is not None and st[0] > hi_e)
+                    or (lo_e is not None and st[1] < lo_e)
+                )
+            except TypeError:
+                # bound type doesn't order against the stored encoding
+                # (e.g. a string bound on a timestamp column) — pruning is
+                # an optimization, so KEEP the file; the DataFrame filter
+                # will raise/compare per SQL semantics downstream
+                miss = False
+            if miss:
                 skipped += 1
                 continue
             kept.append(e)

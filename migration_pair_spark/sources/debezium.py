@@ -113,6 +113,16 @@ def parse_debezium(
     A row is corrupt when the line is not valid JSON for the envelope
     schema, ``op`` is not c/u/d/r, ``source.lsn`` is null, or neither
     ``before`` nor ``after`` is present.
+
+    Delete semantics note: a delete's payload (including any event-time
+    column the table's LWW order uses, e.g. ``warc_ts``) is read from
+    ``before``. A producer whose deletes carry only the OLD row image
+    should stamp the deletion time into ``before``'s event-time field (as
+    :func:`migration_pair_spark.synth.write_debezium_stream` does) — with
+    the unmodified old image, the tombstone still wins its LWW tie against
+    the row it deletes on the LSN tiebreak, but a later-arriving
+    out-of-order update with a newer event time would beat it, which is
+    LWW-by-event-time working as specified.
     """
     env = F.from_json(F.col(json_col), envelope_schema(payload_schema))
     out = df.select(F.col(json_col).alias(RAW_COL), env.alias("_env"))

@@ -1,0 +1,68 @@
+"""Snapshot publishing: the downstream-facing parquet SINK of the engine.
+
+A CDC-maintained lake table is the engine's internal format (manifest +
+bucket files); training jobs and external readers want a plain,
+partition-laid-out parquet dataset. ``publish_snapshot`` materializes the
+CURRENT resolved snapshot under ``out_dir/v{version}/`` — optionally
+``partitionBy`` user columns (e.g. ``language`` for per-language corpus
+shards) — and stamps a ``_PUBLISHED`` marker after the write.
+
+Exactly-once by construction, the same argument as the changelog
+materializer (cdc/changelog.py): snapshots are immutable and the export is
+a pure function of (version, partition spec), so each version directory is
+idempotent — an existing marker short-circuits, a crash mid-write leaves no
+marker and the re-run overwrites. Publishing keeps the default v1
+committer + ``_SUCCESS`` (external readers rely on staging-dir
+invisibility), with ``_PUBLISHED`` as the engine-level commit point.
+
+Reference analog: the reference's Extraction task exports the table to CSV
+(/root/reference/Tasks/Extraction.cs) — this is the columnar,
+partition-aware equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from migration_pair_spark.lakehouse.table import LakeTable
+
+
+def published_versions(out_dir: str) -> list[int]:
+    """Versions already published under ``out_dir`` (marker-complete)."""
+    if not os.path.isdir(out_dir):
+        return []
+    out = []
+    for name in os.listdir(out_dir):
+        if name.startswith("v") and os.path.exists(
+            os.path.join(out_dir, name, "_PUBLISHED")
+        ):
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def publish_snapshot(
+    table: LakeTable,
+    out_dir: str,
+    partition_by: tuple[str, ...] = (),
+    version: int | None = None,
+) -> str | None:
+    """Publish ``version`` (default: current) as a plain parquet dataset.
+    Returns the directory written, or None when that version is already
+    published (idempotent)."""
+    table.refresh()
+    v = table.version if version is None else version
+    snap = table if version is None else table.at_version(version)
+    for c in partition_by:
+        if c not in [f.name for f in snap.schema.fields]:
+            raise ValueError(f"partition_by: unknown column {c!r}")
+    d = os.path.join(out_dir, f"v{v:08d}")
+    if os.path.exists(os.path.join(d, "_PUBLISHED")):
+        return None
+    df = snap.read()
+    w = df.write
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(d, mode="overwrite")
+    with open(os.path.join(d, "_PUBLISHED"), "w") as f:
+        f.write("ok")
+    return d

@@ -221,3 +221,14 @@ def test_cdc_pipeline_lsn_and_time_zonemaps(spark, tmp_path):
     )
     assert got == want
     assert [r[0] for r in got] == ["https://site0.example/p/0"]
+
+
+def test_prune_keeps_file_on_unorderable_bound(spark, tmp_path):
+    """A bound whose encoding doesn't order against the stored stats (e.g.
+    a string bound on a timestamp column) must disable pruning for that
+    file, never raise — pruning is only ever an optimization."""
+    t = _make(spark, str(tmp_path / "t"))
+    _commit(spark, t, [1, 2, 3], lsn=1)
+    entries = _all_entries(t)
+    kept, skipped = t.prune_entries(entries, "ts", lo="2024-01-01")
+    assert skipped == 0 and kept == entries
