@@ -76,6 +76,12 @@ def main(argv: list[str] | None = None) -> int:
 
     de = sub.add_parser("describe")
     de.add_argument("--table-path", required=True)
+    de.add_argument("--history", action="store_true",
+                    help="one JSON line per committed snapshot "
+                         "(LakeTable.history metadata view)")
+    de.add_argument("--files", action="store_true",
+                    help="one JSON line per data file of the current "
+                         "snapshot (LakeTable.files metadata view)")
 
     rs = sub.add_parser("rescale")
     rs.add_argument("--table-path", required=True)
@@ -461,6 +467,11 @@ def main(argv: list[str] | None = None) -> int:
         from migration_pair_spark.lakehouse.table import LakeTable
 
         table = LakeTable.load(spark, args.table_path)
+        if args.history or args.files:
+            view = table.history() if args.history else table.files()
+            for r in view.collect():
+                print(json.dumps(r.asDict()))
+            return 0
         m = table.manifest
         print(json.dumps({
             "version": m["version"],

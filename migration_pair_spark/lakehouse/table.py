@@ -37,6 +37,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -325,6 +326,9 @@ class LakeTable:
         mdir = os.path.join(self.path, "manifests")
         final = os.path.join(mdir, f"v{manifest['version']:08d}.json")
         tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        # commit wall clock for the history() metadata view (Iceberg
+        # snapshots.committed_at analog); absent on pre-existing manifests
+        manifest["committed_at_ms"] = int(time.time() * 1000)
         with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
@@ -660,6 +664,84 @@ class LakeTable:
             if r["old"] == name:
                 name = r["new"]
         return name
+
+    # ---------------------------------------------------------- metadata views
+
+    def history(self) -> DataFrame:
+        """Metadata view, one row per committed snapshot (Iceberg
+        ``history``/``snapshots`` analog): version chain, commit wall
+        clock, file/row counts, and the commit's lineage record. Built
+        from the retained manifests — metadata only, no data scan. Row
+        counts are exact when the table records zone maps (entries carry
+        ``rows``), null otherwise."""
+        rows = []
+        for v in self.snapshot_versions():
+            m = self.manifest_at(v)
+            lin = m.get("lineage") or {}
+            entries = [e for fs in m["buckets"].values() for e in fs]
+            n_rows = (
+                sum(e["rows"] for e in entries)
+                if entries and all("rows" in e for e in entries)
+                else None
+            )
+            if not lin:
+                op = "create" if m.get("parent") is None else "commit"
+            elif lin.get("compaction"):
+                op = "compact"
+            elif "rescale_parents" in lin or "rescale" in lin:
+                op = "rescale"
+            elif "schema_evolution" in lin:
+                op = "evolve"
+            elif "dedup_ingest" in lin or "emb_ingest" in lin:
+                op = "dedup-ingest"
+            elif "batch_id" in lin:
+                op = "cdc-apply"
+            else:
+                op = "commit"
+            rows.append(
+                (
+                    v,
+                    m.get("parent"),
+                    m.get("committed_at_ms"),
+                    m.get("schema_version"),
+                    len(entries),
+                    n_rows,
+                    bool(m.get("mor")),
+                    op,
+                    json.dumps(lin) if lin else None,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, committed_at_ms long, "
+            "schema_version int, n_files int, n_rows long, mor boolean, "
+            "operation string, lineage_json string",
+        )
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """Metadata view, one row per data file of a snapshot (Iceberg
+        ``files`` analog): bucket, relative path, write-time schema
+        version, row count and zone-map stats (JSON) when recorded.
+        Metadata only — the scan-planning facts read_range prunes with,
+        exposed for inspection."""
+        m = self.manifest if version is None else self.manifest_at(version)
+        rows = []
+        for b, fs in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
+            for e in fs:
+                rows.append(
+                    (
+                        int(b),
+                        e["path"],
+                        e["schema_version"],
+                        e.get("rows"),
+                        json.dumps(e["stats"]) if e.get("stats") else None,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, path string, schema_version int, n_rows long, "
+            "stats_json string",
+        )
 
     def _name_at_version(self, current: str, ver: int) -> str:
         """A CURRENT column name as it was spelled at schema version
@@ -1460,6 +1542,13 @@ class LakeTable:
             return self.version  # full replay — nothing to commit
         m["schema_version"] = new_sv
         m["schemas"][str(new_sv)] = T.StructType(fields).jsonValue()
+        # own lineage, not the parent's (deep-copied by _next_manifest):
+        # without this the history() view labels evolution commits with the
+        # PREVIOUS commit's record
+        m["lineage"] = {
+            "schema_evolution": [repr(op) for op in ops],
+            "new_schema_version": new_sv,
+        }
         self._write_manifest(m)
         self._manifest = m
         return m["version"]
