@@ -232,3 +232,32 @@ def test_prune_keeps_file_on_unorderable_bound(spark, tmp_path):
     entries = _all_entries(t)
     kept, skipped = t.prune_entries(entries, "ts", lo="2024-01-01")
     assert skipped == 0 and kept == entries
+
+
+def test_string_zone_prefix_prune(spark, tmp_path):
+    """String zone maps support prefix scans (url ranges): files whose
+    [min, max] key range can't contain the prefix window prune out."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="key", n_buckets=1,
+        stats_cols=("key",),
+    )
+    phys = t._physical_schema(1)
+    for prefix in ("alpha", "mid", "zulu"):  # one file per commit, 1 bucket
+        rows = [
+            {"key": f"{prefix}/{i:03d}", "ts": BASE, "v": i,
+             "_lsn": 1, "_deleted": False}
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, phys).coalesce(1).withColumn(
+            "_bucket", t.bucket_expr()
+        )
+        t.append_buckets(df)
+    entries = _all_entries(t)
+    lo, hi = "mid/", "mid/￿"
+    kept, skipped = t.prune_entries(entries, "key", lo, hi)
+    assert skipped == len(entries) - 1 and len(kept) == 1
+    got = _sorted(t.read_range("key", lo, hi), "key")
+    want = _sorted(
+        t.read().filter(F.col("key").between(lo, hi)), "key"
+    )
+    assert got == want and len(got) == 20
