@@ -227,12 +227,20 @@ class IcebergTable:
         touched_buckets: list[int],
         properties: dict[str, str] | None = None,
         lineage: dict | None = None,
+        max_rows_per_file: int | None = None,
     ) -> int:
         """Copy-on-write: dynamic overwrite of exactly the touched bucket
         partitions (rows route by the spec's own bucket transform, matching
         ``_bucket``). Iceberg's CommitFailedException is the optimistic-
-        concurrency conflict — same contract as LakeTable's EEXIST."""
-        self._writer(df_with_bucket, properties, lineage).overwritePartitions()
+        concurrency conflict — same contract as LakeTable's EEXIST.
+        ``max_rows_per_file`` maps to the table's
+        ``write.target-file-size-bytes`` / the writer's fanout sizing
+        (Iceberg sizes by bytes, not rows; the spark write option
+        ``maxRecordsPerFile`` applies here too and is what we set)."""
+        w = self._writer(df_with_bucket, properties, lineage)
+        if max_rows_per_file:
+            w = w.option("maxRecordsPerFile", str(max_rows_per_file))
+        w.overwritePartitions()
         self.refresh()
         return self.version
 
@@ -330,11 +338,21 @@ class IcebergTable:
         )
         return {int(r["b"]): int(r["count"]) for r in rows}
 
-    def compact(self, bucket_ids: "list[int] | None" = None) -> int:
+    def compact(
+        self,
+        bucket_ids: "list[int] | None" = None,
+        sort_by: "list[str] | None" = None,
+        max_rows_per_file: "int | None" = None,
+    ) -> int:
         """Engine-level compaction: LWW-resolve the chosen buckets and
         overwrite their partitions (clears their MOR state). A pure layout
         rewrite without resolution would instead be the
-        ``rewrite_data_files`` procedure."""
+        ``rewrite_data_files`` procedure — which is also where CLUSTERED
+        compaction maps on real Iceberg: ``sort_by`` here is
+        ``rewrite_data_files(strategy => 'sort', sort_order => ...)`` and
+        ``max_rows_per_file`` its target-file-size option; this adapter
+        expresses both through the writer (sortWithinPartitions +
+        maxRecordsPerFile), same semantics."""
         buckets = (
             bucket_ids if bucket_ids is not None else sorted(self.files_per_bucket())
         )
@@ -342,10 +360,16 @@ class IcebergTable:
             return self.version
         resolved = self.read_buckets(buckets, resolve=True)
         remaining = sorted(self.mor_buckets - {int(b) for b in buckets})
-        self._writer(
-            resolved.withColumn("_bucket", self.bucket_expr()),
-            {"engine.mor-buckets": json.dumps(remaining)},
-            {"compaction": True, "buckets": list(map(int, buckets))},
-        ).overwritePartitions()
+        out = resolved.withColumn("_bucket", self.bucket_expr())
+        lineage = {"compaction": True, "buckets": list(map(int, buckets))}
+        if sort_by:
+            out = out.sortWithinPartitions("_bucket", *sort_by)
+            lineage["sort_by"] = sort_by
+        w = self._writer(
+            out, {"engine.mor-buckets": json.dumps(remaining)}, lineage
+        )
+        if max_rows_per_file:
+            w = w.option("maxRecordsPerFile", str(max_rows_per_file))
+        w.overwritePartitions()
         self.refresh()
         return self.version
