@@ -1234,8 +1234,12 @@ class LakeTable:
     def lookup(self, key_value) -> DataFrame:
         """Point read: the current row(s) for one key, touching ONLY the
         bucket the key hashes into — at 100 TB this reads a few files, not
-        the table. Returns 0 or 1 rows (post LWW-resolution, tombstones
-        filtered)."""
+        the table. When the table records key zone maps (``stats_cols``
+        includes the key) the bucket's files additionally prune by the
+        key's [min, max] — on a key-clustered bucket
+        (``compact(sort_by=[key])``) that is ONE file. Skipped for MOR
+        buckets (all delta files participate in resolution). Returns 0 or
+        1 rows (post LWW-resolution, tombstones filtered)."""
         # cast the literal to the KEY COLUMN's type before hashing: Spark's
         # xxhash64 hashes int and bigint differently, so an uncast Python int
         # literal would land in the wrong bucket for a bigint key
@@ -1251,7 +1255,18 @@ class LakeTable:
             )
             .collect()[0]["b"]
         )
-        df = self.read_buckets([int(bucket)], resolve=True)
+        b = int(bucket)
+        entries = self.manifest["buckets"].get(str(b), [])
+        mor = self.manifest.get("mor") and b in self.mor_buckets
+        if not mor:
+            entries, _ = self.prune_entries(
+                entries, self.key_col, key_value, key_value
+            )
+        df = self._read_files(entries)
+        if df is None:
+            df = self._empty_df()
+        elif mor:
+            df = self._lww_resolve(df)
         return (
             df.filter(F.col(self.key_col) == key_value)
             .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))

@@ -261,3 +261,35 @@ def test_string_zone_prefix_prune(spark, tmp_path):
         t.read().filter(F.col("key").between(lo, hi)), "key"
     )
     assert got == want and len(got) == 20
+
+
+def test_lookup_prunes_by_key_zone_after_clustering(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, key_col="key", n_buckets=2,
+        stats_cols=("key",), lww_order=("ts", "_lsn"),
+    )
+    phys = t._physical_schema(1)
+    for c in range(3):
+        rows = [
+            {"key": f"k{i:04d}", "ts": BASE, "v": i, "_lsn": c + 1,
+             "_deleted": False}
+            for i in range(c, 120, 3)
+        ]
+        df = spark.createDataFrame(rows, phys).coalesce(1).withColumn(
+            "_bucket", t.bucket_expr()
+        )
+        t.append_buckets(df)
+    t.compact(sort_by=["key"], max_rows_per_file=10)
+    got = [tuple(r) for r in t.lookup("k0042").collect()]
+    assert got == [("k0042", BASE, 42)]
+    # the probed bucket's files pruned down to the single covering run
+    bucket = int(
+        spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit("k0042")), F.lit(2)).alias("b"))
+        .collect()[0]["b"]
+    )
+    entries = t.manifest["buckets"][str(bucket)]
+    kept, skipped = t.prune_entries(entries, "key", "k0042", "k0042")
+    assert len(kept) == 1 and skipped == len(entries) - 1 and len(entries) > 3
+    # missing key
+    assert t.lookup("nope").count() == 0
