@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
     cr.add_argument("--canonicalize-key", action="store_true",
                     help="canonicalize the url key before LWW/bucketing "
                          "(functions/webtext.canonical_url)")
+    cr.add_argument("--expect", action="append", default=[],
+                    metavar="NAME=SQL",
+                    help="row-level expectation (repeatable): a SQL boolean "
+                         "predicate over the event columns; violators are "
+                         "counted in lineage and handled per --on-violation")
+    cr.add_argument("--on-violation", choices=["drop", "fail"],
+                    default="drop")
 
     cp = sub.add_parser("compact")
     cp.add_argument("--table-path", required=True)
@@ -260,6 +267,8 @@ def main(argv: list[str] | None = None) -> int:
             on_malformed=args.on_malformed,
             dead_letter_dir=args.dead_letter_dir,
             canonicalize_key=args.canonicalize_key,
+            expectations=dict(e.split("=", 1) for e in args.expect),
+            on_violation=args.on_violation,
         )
         lineages = pipe.run_stream(
             spark, args.events, args.checkpoint,

@@ -167,6 +167,8 @@ def apply_cdc_batch(
     extract_text: bool = True,
     write_mode: str = "cow",
     coalesce_bucket_files: bool = False,
+    expectations: "dict[str, str] | None" = None,
+    on_violation: str = "drop",
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns the
     lineage record (FIXTURES.md F4). Idempotent: re-applying any prefix,
@@ -194,7 +196,20 @@ def apply_cdc_batch(
     payloads (~100 KB html) that roughly doubles the batch's heaviest data
     movement, and auto-compaction already bounds the file count. Turn it on
     for thin-payload / high-bucket-count deployments where commit and read
-    amplification dominate."""
+    amplification dominate.
+
+    ``expectations``: row-level quality gates (Delta Live Tables
+    expectations analog) — {name: SQL boolean predicate over the event
+    columns}. A row VIOLATES when its predicate is false OR null.
+    Violation counts ride the existing gate aggregation (zero extra jobs,
+    fresh rows only — replayed rows are never re-counted) and land in
+    lineage["expectations"]. ``on_violation``:
+      - ``"drop"`` (default): violating rows are rejected before the LWW
+        merge; their LSNs still commit as applied — a rejection is a
+        decision, and replay must not resurrect the row;
+      - ``"fail"``: the batch raises BEFORE any commit (nothing applied;
+        the stream stops loudly for upstream triage; exactly-once holds
+        because no state advanced)."""
     t0 = time.monotonic()
     phase_ms: dict[str, int] = {}  # per-phase wall breakdown (lineage)
 
@@ -214,11 +229,16 @@ def apply_cdc_batch(
     # Analytical queries keep the session default (joins DO benefit).
     # (Session comes from the batch, not the table — the target behind the
     # UpsertTarget seam need not expose one, tests/test_interface.py.)
+    if on_violation not in ("drop", "fail"):
+        raise ValueError(
+            f"on_violation must be 'drop' or 'fail', got {on_violation!r}"
+        )
     spark = batch.sparkSession
     with _aqe_disabled(spark):
         return _apply_cdc_batch_inner(
             table, batch, batch_id, epoch_registry, extract_text, write_mode,
-            coalesce_bucket_files, t0, phase_ms, _mark,
+            coalesce_bucket_files, expectations or {}, on_violation,
+            t0, phase_ms, _mark,
         )
 
 
@@ -230,6 +250,8 @@ def _apply_cdc_batch_inner(
     extract_text: bool,
     write_mode: str,
     coalesce_bucket_files: bool,
+    expectations: "dict[str, str]",
+    on_violation: str,
     t0: float,
     phase_ms: dict,
     _mark,
@@ -250,6 +272,27 @@ def _apply_cdc_batch_inner(
     applied = load_applied_ranges(table.properties)
     t_phase = time.monotonic()
     is_stale = covered_expr(F.col("change_lsn"), applied)
+    # expectation violations ride the SAME gate pass as extra aggregate
+    # expressions — zero additional jobs; counted over FRESH rows only so a
+    # replayed batch never re-counts (or re-fails on) rows it already
+    # decided (apply_cdc_batch docstring)
+    exp_names = list(expectations)
+    exp_viol = [
+        ~F.coalesce(F.expr(sql), F.lit(False)) for sql in expectations.values()
+    ]
+    exp_aggs = [
+        F.sum((v & ~is_stale).cast("long")).alias(f"_exp_{i}")
+        for i, v in enumerate(exp_viol)
+    ]
+    if exp_viol:
+        # distinct violating rows (a row failing two expectations counts
+        # once in rows_rejected, once per expectation in the breakdown)
+        any_viol = exp_viol[0]
+        for v in exp_viol[1:]:
+            any_viol = any_viol | v
+        exp_aggs.append(
+            F.sum((any_viol & ~is_stale).cast("long")).alias("_exp_any")
+        )
     per_group = (
         batch.groupBy(
             F.input_file_name().alias("_f"), table.bucket_expr().alias("_b")
@@ -262,9 +305,20 @@ def _apply_cdc_batch_inner(
             F.sum(is_stale.cast("long")).alias("n_stale"),
             F.min(F.when(~is_stale, F.col("change_lsn"))).alias("fresh_min"),
             F.max(F.when(~is_stale, F.col("change_lsn"))).alias("fresh_max"),
+            *exp_aggs,
         )
         .collect()
     )
+    exp_counts = {
+        name: int(sum(r[f"_exp_{i}"] or 0 for r in per_group))
+        for i, name in enumerate(exp_names)
+    }
+    if on_violation == "fail" and any(exp_counts.values()):
+        bad = {k: v for k, v in exp_counts.items() if v}
+        raise ValueError(
+            f"batch {batch_id}: expectation violations with "
+            f"on_violation='fail' — {bad}; nothing was committed"
+        )
     t_phase = _mark("gate", t_phase)
 
     from types import SimpleNamespace
@@ -300,6 +354,10 @@ def _apply_cdc_batch_inner(
     bucket_counts: dict[int, int] = {}
     for r in per_group:
         fresh_n = int(r["n"]) - int(r["n_stale"] or 0)
+        if exp_names:
+            # rejected rows are decided, not applied — keep the per-bucket
+            # applied counts (and the touched set they imply) honest
+            fresh_n -= int(r["_exp_any"] or 0)
         if fresh_n > 0:
             bucket_counts[int(r["_b"])] = bucket_counts.get(int(r["_b"]), 0) + fresh_n
     touched = sorted(bucket_counts)
@@ -310,6 +368,11 @@ def _apply_cdc_batch_inner(
         "rows_in_batch": int(stats.n),
         "table_version_before": table.version,
     }
+    if exp_names:
+        lineage_base["expectations"] = exp_counts
+        lineage_base["rows_rejected"] = int(
+            sum(r["_exp_any"] or 0 for r in per_group)
+        )
     if stats.n == 0 or not batch_intervals:
         return {
             **lineage_base,
@@ -333,6 +396,10 @@ def _apply_cdc_batch_inner(
     t_phase = _mark("evolve", t_phase)
 
     fresh = batch.filter(~covered_expr(F.col("change_lsn"), applied))
+    # reject expectation violators before the merge (their LSNs still
+    # commit as applied — a rejection is a decision, not pending work)
+    for v in exp_viol:
+        fresh = fresh.filter(~v)
 
     # The intervals this commit publishes: applied so far + one interval per
     # fresh delivery unit in this batch. Data + intervals commit in ONE

@@ -153,6 +153,13 @@ class CdcPipeline:
     # rows AND less hot-key spread. Strings that don't parse as URLs keep
     # their raw value (coalesce), so keys never become null.
     canonicalize_key: bool = False
+    # row-level quality gates (Delta Live Tables expectations analog):
+    # {name: SQL boolean predicate}; violators (false OR null) are counted
+    # in lineage["expectations"] via the existing gate pass (zero extra
+    # jobs) and either dropped pre-merge (their LSNs commit as decided) or
+    # fail the batch before any commit — see apply_cdc_batch
+    expectations: dict[str, str] = field(default_factory=dict)
+    on_violation: str = "drop"
 
     @property
     def changelog_policy(self) -> str:
@@ -257,6 +264,8 @@ class CdcPipeline:
                             extract_text=self.extract_text,
                             write_mode=self.write_mode,
                             coalesce_bucket_files=self.coalesce_bucket_files,
+                            expectations=self.expectations,
+                            on_violation=self.on_violation,
                         )
                         self._maybe_changelog(table, sub)
                         lineages.append(sub)
@@ -297,6 +306,8 @@ class CdcPipeline:
             extract_text=self.extract_text,
             write_mode=self.write_mode,
             coalesce_bucket_files=self.coalesce_bucket_files,
+            expectations=self.expectations,
+            on_violation=self.on_violation,
         )
         self._maybe_changelog(table, lineage)
         self._maybe_auto_compact(table, lineage)
