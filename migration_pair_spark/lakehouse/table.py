@@ -60,6 +60,13 @@ _STATS_TYPES = (
     T.StringType, T.BooleanType, T.TimestampType, T.TimestampNTZType,
 )
 
+#: column types bloom filters support: the parquet physical types whose
+#: parquet-mr bloom hash we can reproduce driver-side (INT32 / INT64 /
+#: BINARY-utf8). Floats make no sense as point-lookup keys.
+_BLOOM_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType,
+)
+
 
 def _stats_encode(v):
     """A footer-stat or predicate-bound value as its JSON zone-map encoding.
@@ -182,6 +189,8 @@ class LakeTable:
         properties: dict[str, str] | None = None,
         lww_order: tuple[str, ...] = ("warc_ts", "_lsn"),
         stats_cols: tuple[str, ...] = (),
+        bloom_filter_cols: tuple[str, ...] = (),
+        bloom_ndv: int = 1_000_000,
     ) -> "LakeTable":
         os.makedirs(os.path.join(path, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -194,6 +203,15 @@ class LakeTable:
                 raise ValueError(
                     f"stats_cols: unsupported type {phys[c].simpleString()} "
                     f"for {c!r} (numeric/string/boolean/timestamp only)"
+                )
+        for c in bloom_filter_cols:
+            if c not in phys:
+                raise ValueError(f"bloom_filter_cols: unknown column {c!r}")
+            if not isinstance(phys[c], _BLOOM_TYPES):
+                raise ValueError(
+                    f"bloom_filter_cols: unsupported type "
+                    f"{phys[c].simpleString()} for {c!r} "
+                    f"(integer/long/string only)"
                 )
         t = cls(spark, path)
         manifest = {
@@ -217,6 +235,14 @@ class LakeTable:
             # commit (parquet footer stats — no data scan); read_range prunes
             # files by them. Empty = zero overhead.
             "stats_cols": list(stats_cols),
+            # bloom filters: parquet-native per-column-chunk blooms written
+            # inline by every data write (parquet.bloom.filter.enabled#col).
+            # Point predicates prune FILES by them (bloom_prune_entries /
+            # lookup) and pushed IN-lists skip ROW GROUPS by them inside
+            # parquet-mr — the data-skipping rung zone maps can't reach on
+            # hash-distributed keys (min/max of a uniform key never prunes).
+            "bloom_cols": list(bloom_filter_cols),
+            "bloom_ndv": int(bloom_ndv),
         }
         t._write_manifest(manifest)
         t._manifest = manifest
@@ -377,6 +403,15 @@ class LakeTable:
             .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
             .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         )
+        # parquet-native bloom filters, computed inline by the write tasks
+        # (no extra pass over the data; ~1.2 MB/column chunk at the default
+        # NDV). Written under CURRENT column names, like footer stats.
+        ndv = str(self.manifest.get("bloom_ndv") or 1_000_000)
+        for c in self.manifest.get("bloom_cols") or []:
+            cur = self._current_name(c)
+            w = w.option(f"parquet.bloom.filter.enabled#{cur}", "true").option(
+                f"parquet.bloom.filter.expected.ndv#{cur}", ndv
+            )
         if max_rows_per_file:
             # bounded sorted runs (clustered compaction): each output file
             # covers a narrow slice of the sort key, so zone maps get tight
@@ -783,6 +818,106 @@ class LakeTable:
                 skipped += 1
                 continue
             kept.append(e)
+        return kept, skipped
+
+    def _bloom_might_contain(self, fp: str, col_name: str, value) -> bool | None:
+        """One file's parquet bloom-filter verdict for ``col_name == value``:
+        False means the value is PROVABLY absent (safe to skip the file),
+        True means it may be present, None means no determination (a row
+        group without a bloom — e.g. a fully dictionary-encoded chunk, where
+        parquet-mr drops the bloom because dictionary filtering is already
+        exact — an unsupported physical type, or a read error).
+
+        Driver-side via the running JVM's parquet-mr (the same classes the
+        executor-side reader uses for bloom row-group skipping): only the
+        footer and the bloom bytes are read, never data pages. The hash is
+        parquet-mr's own (xxhash64 seed 0 over the PLAIN encoding),
+        dispatched on the FILE's physical type so widened columns (int32
+        files under a now-bigint schema) still test correctly.
+
+        The hash is computed through parquet's shaded openhft
+        ``LongHashFunction`` (width-named methods: hashLong/hashInt/
+        hashBytes) and NEVER through ``bloom.hash(...)``: py4j auto-unboxes
+        java.lang.Long returns to Python ints and re-converts small ints as
+        java ``int``, silently selecting the ``hash(int)`` overload — an
+        INT64 value below 2^31 then hashes as 4 bytes instead of 8 and
+        every membership test false-negatives (found the hard way; pinned
+        in tests/test_bloom.py with planted SMALL keys)."""
+        jvm = self.spark._jvm
+        try:
+            hasher = jvm.shaded.parquet.net.openhft.hashing.LongHashFunction.xx(0)
+        except Exception:
+            return None
+        try:
+            reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(
+                jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                    jvm.org.apache.hadoop.fs.Path(fp),
+                    self.spark._jsc.hadoopConfiguration(),
+                )
+            )
+        except Exception:
+            return None
+        try:
+            blocks = reader.getFooter().getBlocks()
+            hit = False
+            for gi in range(blocks.size()):
+                cols = blocks.get(gi).getColumns()
+                meta = None
+                for ci in range(cols.size()):
+                    c = cols.get(ci)
+                    if c.getPath().toDotString() == col_name:
+                        meta = c
+                        break
+                if meta is None:
+                    return None
+                bloom = reader.readBloomFilter(meta)
+                if bloom is None:
+                    return None
+                phys = meta.getPrimitiveType().getPrimitiveTypeName().toString()
+                if phys == "INT64":
+                    h = hasher.hashLong(int(value))
+                elif phys == "INT32":
+                    iv = int(value)
+                    if not (-(2**31) <= iv < 2**31):
+                        continue  # out of int32 range: absent from this chunk
+                    h = hasher.hashInt(iv)
+                elif phys == "BINARY" and isinstance(value, str):
+                    h = hasher.hashBytes(bytearray(value.encode("utf-8")))
+                else:
+                    return None
+                if bloom.findHash(h):
+                    hit = True
+            return hit
+        except Exception:
+            return None
+        finally:
+            try:
+                reader.close()
+            except Exception:  # pragma: no cover
+                pass
+
+    def bloom_prune_entries(
+        self, entries: list[dict], col: str, value
+    ) -> tuple[list[dict], int]:
+        """Bloom-filter FILE pruning for a point predicate ``col == value``:
+        drop entries whose blooms prove the value absent from every row
+        group. The complement of zone-map pruning: min/max never prunes a
+        hash-distributed key (every file spans the keyspace), a bloom
+        prunes exactly there. Entries are KEPT on any doubt — pruning is
+        only ever an optimization. Returns (kept, n_skipped)."""
+        if value is None:
+            return entries, 0
+        kept: list[dict] = []
+        skipped = 0
+        for e in entries:
+            name = self._name_at_version(col, e["schema_version"])
+            verdict = self._bloom_might_contain(
+                os.path.join(self.path, e["path"]), name, value
+            )
+            if verdict is False:
+                skipped += 1
+            else:
+                kept.append(e)
         return kept, skipped
 
     def read_range(
@@ -1262,6 +1397,14 @@ class LakeTable:
             entries, _ = self.prune_entries(
                 entries, self.key_col, key_value, key_value
             )
+            # bloom pruning after zone maps: on an unclustered table the
+            # key's [min, max] spans the keyspace in every file, so the
+            # bloom is the only metadata that can prove absence. O(bucket
+            # files) footer+bloom reads, no data pages.
+            if self.key_col in (self.manifest.get("bloom_cols") or []):
+                entries, _ = self.bloom_prune_entries(
+                    entries, self.key_col, key_value
+                )
         df = self._read_files(entries)
         if df is None:
             df = self._empty_df()

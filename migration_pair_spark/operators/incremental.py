@@ -1160,12 +1160,27 @@ class IncrementalChunkIndex:
     #: than shingling — fewer output rows per doc, no k-gram explosion)
     rows_per_task = 1024
 
+    #: largest distinct-chunk-key count for which the index probe swaps
+    #: the bucket-scan join for a pushed-IN scan: keys collect to the
+    #: driver (bounded by this), the scan filters ``ck IN (...)`` which
+    #: Spark pushes into parquet (session.py raises inFilterThreshold), so
+    #: parquet-mr skips row groups by the index's bloom filters / stats /
+    #: dictionaries executor-side. This is the fix for the soak's one
+    #: growth term at SMALL batches — a streaming micro-batch's probe
+    #: reads ~0 index data pages instead of every bucket's key column;
+    #: large sweeps keep the join (their read amortizes over the batch).
+    #: 0 disables the fast path.
+    probe_isin_max_keys = 1024
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         self.corpus = LakeTable.load(spark, os.path.join(root, "corpus"))
         self.index = LakeTable.load(spark, os.path.join(root, "index"))
         self.w = int(self.corpus.properties["chunk.w"])
+        #: diagnostics: how the last _flag_chunks probed the index
+        #: ("isin" fast path / "join" bucket scan / None = empty index)
+        self.last_probe_mode: str | None = None
 
     @classmethod
     def create(
@@ -1192,6 +1207,10 @@ class IncrementalChunkIndex:
             key_col="ck",
             n_buckets=index_buckets,
             properties={APPLIED_PROP: "[]"},
+            # chunk keys are md5 hex (uniform): zone maps can never prune
+            # them, blooms always can — they power both the pushed-IN
+            # probe's row-group skipping and point lookups on the index
+            bloom_filter_cols=("ck",),
         )
         return cls(spark, root)
 
@@ -1223,14 +1242,49 @@ class IncrementalChunkIndex:
         occurrence survives iff its key is absent from the persisted index
         AND it is the batch's minimal occurrence of that key."""
         index_has_rows = any(self.index.manifest["buckets"].values())
+        self.last_probe_mode = None
         if index_has_rows:
-            probe_buckets = self.probe_lake_buckets(chunks.select("ck"))
-            idx = (
-                self.index.read_buckets(probe_buckets)
-                .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
-                .select("ck")
-                .withColumn("_seen", F.lit(True))
-            )
+            small = None
+            if self.probe_isin_max_keys:
+                # one bounded job replaces the bucket-distinct job: collect
+                # the batch's distinct (ck, lake bucket) pairs, stopping at
+                # the cap (+1 detects overflow — an arbitrary subset is
+                # only used when it is the COMPLETE set)
+                head = (
+                    chunks.select(
+                        "ck", self.index.bucket_expr("ck").alias("_b")
+                    )
+                    .distinct()
+                    .limit(self.probe_isin_max_keys + 1)
+                    .collect()
+                )
+                if len(head) <= self.probe_isin_max_keys:
+                    small = head
+            if small is not None:
+                self.last_probe_mode = "isin"
+                probe_buckets = sorted({int(r["_b"]) for r in small})
+                keys = [r["ck"] for r in small]
+                # pushed-IN scan: parquet-mr skips row groups via the ck
+                # bloom filters, so this reads footers + blooms, not the
+                # index's data pages; the surviving rows are a subset of
+                # the batch keys, hence the explicit broadcast (AQE can't
+                # see the size — ingest paths may scope it off)
+                idx = F.broadcast(
+                    self.index.read_buckets(probe_buckets)
+                    .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                    .filter(F.col("ck").isin(keys))
+                    .select("ck")
+                    .withColumn("_seen", F.lit(True))
+                )
+            else:
+                self.last_probe_mode = "join"
+                probe_buckets = self.probe_lake_buckets(chunks.select("ck"))
+                idx = (
+                    self.index.read_buckets(probe_buckets)
+                    .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                    .select("ck")
+                    .withColumn("_seen", F.lit(True))
+                )
             # persist: `firsts` (agg) and `flagged` (join back) both
             # consume `marked` — without the cache each would re-read the
             # pruned index bucket files and re-run the probe join

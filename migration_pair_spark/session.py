@@ -66,6 +66,13 @@ def get_spark(
         # lakehouse zone maps (table.py read_range) for every timestamp
         # column; micros is also what pyarrow/DuckDB read natively.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Push key IN-lists down to the parquet reader instead of the
+        # default fallback past 10 values (a min..max range — useless on
+        # hashed/uniform keys): pushed IN terms let parquet-mr skip row
+        # groups by column stats, dictionary pages, and BLOOM filters
+        # (tables created with bloom_filter_cols). This is what makes the
+        # chunk-index probe's small-batch IN path read ~0 data pages.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")

@@ -255,3 +255,29 @@ def test_null_text_doc_survives_ingest_and_replay(spark, idx):
     again = idx.ingest(batch, "b1-again")
     assert again["replayed"] is True
     assert idx.corpus.read().filter(F.col("doc_id") == 11).count() == 1
+
+
+def test_probe_fast_path_matches_join_path(spark, tmp_path):
+    """The index probe's small-batch pushed-IN path (keys collected, scan
+    filtered ``ck IN (...)`` so parquet-mr skips row groups via the ck
+    bloom filters) produces exactly the bucket-scan join path's state.
+    The cap's overflow branch (limit(N+1) came back full) must fall back
+    to the join."""
+    a = IncrementalChunkIndex.create(
+        spark, str(tmp_path / "a"), corpus_buckets=4, index_buckets=4, w=W
+    )
+    b = IncrementalChunkIndex.create(
+        spark, str(tmp_path / "b"), corpus_buckets=4, index_buckets=4, w=W
+    )
+    b.probe_isin_max_keys = 1  # every batch overflows the cap -> join path
+    for batch, bid in ((BASE, "base"), (BATCH1, "b1"), (BATCH2, "b2")):
+        a.ingest(_df(spark, batch), bid)
+        b.ingest(_df(spark, batch), bid)
+    assert a.last_probe_mode == "isin"
+    assert b.last_probe_mode == "join"
+    truth = _batch_truth(spark, BASE, BATCH1, BATCH2)
+    assert _rw(a.rewritten()) == truth
+    assert _rw(b.rewritten()) == truth
+    # the index's ck column carries parquet blooms (the skip machinery the
+    # fast path leans on)
+    assert a.index.manifest.get("bloom_cols") == ["ck"]
