@@ -29,6 +29,20 @@ import os
 import sys
 
 
+def _parse_expectations(
+    p: argparse.ArgumentParser, pairs: list[str]
+) -> dict[str, str]:
+    """--expect NAME=SQL values as a dict, failing as an ARGUMENT error
+    naming the offending value when '=' is missing."""
+    out: dict[str, str] = {}
+    for e in pairs:
+        name, sep, sql = e.partition("=")
+        if not sep or not name:
+            p.error(f"--expect must be NAME=SQL, got {e!r}")
+        out[name] = sql
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="migration_pair_spark")
     p.add_argument("--config", help="JSON config file (EngineConfig keys)")
@@ -267,7 +281,9 @@ def main(argv: list[str] | None = None) -> int:
             on_malformed=args.on_malformed,
             dead_letter_dir=args.dead_letter_dir,
             canonicalize_key=args.canonicalize_key,
-            expectations=dict(e.split("=", 1) for e in args.expect),
+            # validated split: a missing '=' must name the flag, not die
+            # inside dict() with an opaque ValueError (review-caught)
+            expectations=_parse_expectations(p, args.expect),
             on_violation=args.on_violation,
         )
         lineages = pipe.run_stream(

@@ -62,7 +62,11 @@ def url_path(url: Column) -> Column:
 
 
 def url_query(url: Column) -> Column:
-    return F.regexp_extract(url, r"\?([^#]*)", 1)
+    # anchored before the fragment: the lazy pre-'?' prefix cannot cross
+    # '#', so a '?' that first appears INSIDE the fragment is fragment
+    # content, not a query (an unanchored \? matched it and leaked
+    # fragment text into the canonical key — review-caught)
+    return F.regexp_extract(url, r"^[^#]*?\?([^#]*)", 1)
 
 
 def canonical_query(url: Column) -> Column:

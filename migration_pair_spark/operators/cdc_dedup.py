@@ -16,11 +16,15 @@ How a sweep finds its input — zone maps, not a second bookkeeping system:
   that produced it (COW carries untouched rows' old ``_lsn`` forward), so
   "row versions that appeared since X" is exactly
   ``read_range("_lsn", lo=X+1)``;
-- the watermark X is DERIVED from the chunk index itself: doc ids in the
-  index's corpus ARE the swept ``_lsn`` values, and the dedup gate already
-  persists their applied intervals atomically with each commit — so there
-  is no separate sweep state to desync or lose. A crash anywhere replays
-  the same sweep; the gate makes the replay idempotent;
+- the watermark X lives in the chunk corpus's OWN manifest (``sweep.lsn``
+  property), written atomically with each sweep's corpus commit through
+  the ingest's corpus_properties hook — one commit, nothing to desync or
+  lose. A crash anywhere replays the same sweep; the gate makes the
+  replay idempotent. (It is deliberately NOT derived from the corpus's
+  applied doc-id intervals: a snapshot seed with caller-chosen ids above
+  the current LSN would inflate a derived watermark and silently skip
+  change rows forever — review-caught; legacy pre-property indexes keep
+  the derived fallback);
 - with ``stats_cols=("_lsn",)`` on the pages table the sweep scan PRUNES
   every file whose whole zone predates the watermark — steady-state sweep
   cost is O(files touched since last sweep), not O(table)
@@ -38,8 +42,10 @@ Scope contract: a sweep covers CHANGE-DERIVED rows (``_lsn >= 1``, WAL
 order). Rows loaded by a snapshot backfill carry ``_lsn = 0`` (many rows,
 one lsn — no usable per-row id) and are deliberately never swept; seed the
 index from a snapshot with an explicit one-off ``chunk-ingest`` batch
-(caller-chosen doc ids) before tailing, exactly like seeding any other
-downstream consumer from the snapshot + changelog pair.
+before tailing, exactly like seeding any other downstream consumer from
+the snapshot + changelog pair — with doc ids BELOW the LSN space
+(negative ids; the ingest gate's monotone check then fails loudly on any
+collision instead of a sweep silently skipping overlapped change rows).
 """
 
 from __future__ import annotations
@@ -48,17 +54,28 @@ from pyspark.sql import functions as F
 
 from migration_pair_spark.lakehouse.table import LakeTable
 from migration_pair_spark.operators.incremental import (
+    SWEEP_PROP,
     IncrementalChunkIndex,
     applied_ranges,
 )
 
 
 def sweep_watermark(ix: IncrementalChunkIndex) -> int:
-    """The highest pages-table ``_lsn`` already swept into the index:
-    the top of the index corpus's committed doc-id intervals (0 when the
-    index is empty). Derived, never stored separately."""
+    """The highest pages-table ``_lsn`` already swept into the index.
+
+    Authoritative source: the ``sweep.lsn`` corpus property each sweep
+    commits atomically with its batch. Deriving it from the corpus's
+    applied doc-id intervals (the original design) CONFLATED the two id
+    spaces: a snapshot seed ingested with caller-chosen doc ids above the
+    WAL's current LSN inflated the watermark and made every sweep skip
+    real change rows forever, silently (review-caught). Legacy fallback
+    for indexes built before the property existed: the interval top,
+    clamped to >= 0 — correct only when the corpus holds ONLY swept LSNs."""
+    p = ix.corpus.properties
+    if SWEEP_PROP in p:
+        return int(p[SWEEP_PROP])
     ranges = applied_ranges(ix.corpus)
-    return max((hi for _, hi in ranges), default=0)
+    return max(0, max((hi for _, hi in ranges), default=0))
 
 
 def sweep_into_chunk_index(
@@ -68,9 +85,15 @@ def sweep_into_chunk_index(
     batch_id: str | None = None,
 ) -> dict:
     """One sweep: ingest every page row version with ``_lsn`` above the
-    index's watermark as a (doc_id=_lsn, text) batch. Returns the index
-    ingest result plus sweep accounting. Idempotent: an immediate re-sweep
-    is empty; a crash-replayed sweep is absorbed by the index gate."""
+    index's watermark as a (doc_id=_lsn, text) batch, advancing the
+    watermark property in the same commit. Returns the index ingest
+    result plus sweep accounting. Idempotent: an immediate re-sweep is
+    empty; a crash-replayed sweep is absorbed by the index gate.
+
+    Seeding contract: seed doc ids must sit BELOW the WAL's LSN space
+    (use negative ids) — seeds no longer move the watermark, and a seed
+    id colliding with a later LSN now fails the ingest gate loudly
+    instead of silently skipping the overlapped change rows."""
     pages.refresh()
     wm = sweep_watermark(ix)
     new = (
@@ -81,6 +104,10 @@ def sweep_into_chunk_index(
             F.col("_lsn").alias("doc_id"), F.col(text_col).alias("text")
         )
     )
-    out = ix.ingest(new, batch_id or f"sweep-lsn-gt-{wm}")
+    out = ix.ingest(
+        new,
+        batch_id or f"sweep-lsn-gt-{wm}",
+        corpus_properties=lambda lo, hi: {SWEEP_PROP: str(hi)},
+    )
     out["sweep_from_lsn"] = wm + 1
     return out

@@ -451,6 +451,14 @@ def simhash_oracle_sql(table: str = "documents", text_col: str = "text", id_col:
 
 CHUNK_W = 8
 
+#: identity of the chunk TOKENIZER (trim + ``\s+`` split, space re-join).
+#: Chunk keys ``ck = md5(chunk)`` are PERSISTED in incremental chunk
+#: indexes, so a tokenizer change silently invalidates every stored key
+#: (previously-seen spans re-admit as novel — recall loss with no error).
+#: The id is stamped into index properties at create and checked at load
+#: (review-caught after the ws-v2 change itself shipped unguarded).
+CHUNK_TOKENIZER = "ws-v2"
+
 
 def chunk_dedup(
     docs: DataFrame,

@@ -98,6 +98,14 @@ from migration_pair_spark.lakehouse.table import LakeTable
 from migration_pair_spark.operators import dedup as dd
 
 APPLIED_PROP = "dedup.applied"
+
+#: corpus property holding the CDC->dedup bridge's swept-LSN watermark
+#: (operators/cdc_dedup.py advances it atomically with each sweep's corpus
+#: commit). Stamped "0" at chunk-index CREATE so the watermark is always
+#: property-backed on new indexes — deriving it from applied doc-id
+#: intervals conflates seed ids with LSNs (review-caught); only indexes
+#: predating the property fall back to the derived value.
+SWEEP_PROP = "sweep.lsn"
 DEFAULT_MAX_BUCKET = 1000
 
 _CORPUS_SCHEMA = T.StructType(
@@ -213,8 +221,12 @@ def _ingest_gate(
         # pending span may start below the batch's min id
         heal_fn(subtract_ranges(applied, idx_applied))
         return {"status": "replayed", "healed": True}
-    seen_max = applied[-1][1] if applied else -1
-    if lo <= seen_max:
+    # None, not -1, as the nothing-applied sentinel: ids are arbitrary
+    # longs (snapshot seeds deliberately use NEGATIVE ids to stay below
+    # the LSN space) and a -1 sentinel rejected any negative first batch
+    # (review-caught by the seeding tests)
+    seen_max = applied[-1][1] if applied else None
+    if seen_max is not None and lo <= seen_max:
         raise ValueError(
             f"batch {batch_id}: {noun} must be monotone across batches "
             f"(batch min {lo} <= seen max {seen_max})"
@@ -231,7 +243,7 @@ def _ingest_gate(
         "lo": lo,
         "hi": hi,
         "n_new": n_new,
-        "rng": (seen_max + 1 if applied else lo, hi),
+        "rng": (seen_max + 1 if seen_max is not None else lo, hi),
         "applied": applied,
     }
 
@@ -1178,6 +1190,19 @@ class IncrementalChunkIndex:
         self.corpus = LakeTable.load(spark, os.path.join(root, "corpus"))
         self.index = LakeTable.load(spark, os.path.join(root, "index"))
         self.w = int(self.corpus.properties["chunk.w"])
+        # persisted ck values embed the tokenizer: loading an index built
+        # with a DIFFERENT tokenizer would silently re-admit every seen
+        # span (keys never match) — fail loudly instead (review-caught)
+        tok = self.corpus.properties.get("chunk.tokenizer")
+        if tok != dd.CHUNK_TOKENIZER:
+            raise ValueError(
+                f"chunk index at {root} was built with tokenizer "
+                f"{tok or 'unknown (pre-stamping)'!s}; this build uses "
+                f"{dd.CHUNK_TOKENIZER!r} and its persisted chunk keys "
+                f"would silently never match. Rebuild the index, or set "
+                f"corpus property chunk.tokenizer={dd.CHUNK_TOKENIZER!r} "
+                f"if the keys are known compatible."
+            )
         #: diagnostics: how the last _flag_chunks probed the index
         #: ("isin" fast path / "join" bucket scan / None = empty index)
         self.last_probe_mode: str | None = None
@@ -1191,7 +1216,12 @@ class IncrementalChunkIndex:
         index_buckets: int = 16,
         w: int = dd.CHUNK_W,
     ) -> "IncrementalChunkIndex":
-        props = {"chunk.w": str(w), APPLIED_PROP: "[]"}
+        props = {
+            "chunk.w": str(w),
+            "chunk.tokenizer": dd.CHUNK_TOKENIZER,
+            SWEEP_PROP: "0",  # see SWEEP_PROP: property-backed from birth
+            APPLIED_PROP: "[]",
+        }
         LakeTable.create(
             spark,
             os.path.join(root, "corpus"),
@@ -1232,7 +1262,7 @@ class IncrementalChunkIndex:
         return sorted(int(r["b"]) for r in rows)
 
     def _flag_chunks(
-        self, chunks: DataFrame, keep=lambda df: df
+        self, chunks: DataFrame, keep=lambda df: df, n_docs: int | None = None
     ) -> tuple[DataFrame, DataFrame, list[int]]:
         """Decide survival for each chunk occurrence of the batch.
 
@@ -1240,12 +1270,20 @@ class IncrementalChunkIndex:
         (ck, first_occ) row per chunk key NEWLY seen in this batch — the
         exact index append, list of probed index lake buckets). A chunk
         occurrence survives iff its key is absent from the persisted index
-        AND it is the batch's minimal occurrence of that key."""
+        AND it is the batch's minimal occurrence of that key.
+
+        ``n_docs`` (when the caller knows it — the gate already counted)
+        pre-gates the pushed-IN fast path: distinct chunk keys ~>= docs,
+        so a batch with more docs than the key cap skips the
+        overflow-detection distinct entirely instead of paying a full
+        shuffle just to learn "too many" before the join (review-caught)."""
         index_has_rows = any(self.index.manifest["buckets"].values())
         self.last_probe_mode = None
         if index_has_rows:
             small = None
-            if self.probe_isin_max_keys:
+            if self.probe_isin_max_keys and (
+                n_docs is None or n_docs <= self.probe_isin_max_keys
+            ):
                 # one bounded job replaces the bucket-distinct job: collect
                 # the batch's distinct (ck, lake bucket) pairs, stopping at
                 # the cap (+1 detects overflow — an arbitrary subset is
@@ -1304,10 +1342,21 @@ class IncrementalChunkIndex:
         )
         return flagged, firsts, probe_buckets
 
-    def ingest(self, new_docs: DataFrame, batch_id: str) -> dict:
+    def ingest(
+        self,
+        new_docs: DataFrame,
+        batch_id: str,
+        corpus_properties=None,
+    ) -> dict:
         """Process one batch of (doc_id, text) rows: rewrite each doc to
         its globally-first chunks and append docs + newly-seen chunk keys.
         Idempotent per doc-id range; ``batch_id`` labels lineage only.
+
+        ``corpus_properties``: extra manifest properties to commit
+        ATOMICALLY with the batch's corpus append — a dict, or a callable
+        ``(lo, hi) -> dict`` receiving the batch's id range (how the CDC
+        sweep bridge persists its LSN watermark with no extra job and no
+        separate commit to desync). Not written on replayed/empty batches.
 
         Returns {"rewritten": DataFrame(doc_id, n_chunks, n_kept,
         deduped_text) for the batch (localCheckpointed — survives the
@@ -1347,7 +1396,9 @@ class IncrementalChunkIndex:
             if 1 < par and new_docs.rdd.getNumPartitions() < par:
                 new_docs = keep(new_docs.repartition(par, "doc_id"))
             chunks = keep(dd.chunk_rows(new_docs, w=self.w))
-            flagged, firsts, probe_buckets = self._flag_chunks(chunks, keep)
+            flagged, firsts, probe_buckets = self._flag_chunks(
+                chunks, keep, n_docs=n_new
+            )
             # localCheckpoint (not persist): returned to the caller and must
             # survive the index's tables being deleted; also consumed twice
             # below (corpus rows + counters)
@@ -1366,11 +1417,18 @@ class IncrementalChunkIndex:
                 new_docs.select("doc_id", "text").join(rewritten, "doc_id", "left"),
                 self.corpus.bucket_expr("doc_id"),
             )
+            props = {
+                APPLIED_PROP: json.dumps(merge_ranges(corpus_applied + [rng])),
+            }
+            if corpus_properties:
+                props.update(
+                    corpus_properties(rng[0], rng[1])
+                    if callable(corpus_properties)
+                    else dict(corpus_properties)
+                )
             self.corpus.append_buckets(
                 corpus_rows,
-                properties={
-                    APPLIED_PROP: json.dumps(merge_ranges(corpus_applied + [rng])),
-                },
+                properties=props,
                 lineage={"chunk_ingest": batch_id, "n_docs": n_new},
             )
             self._append_index(firsts, rng, batch_id, n_new)
@@ -1420,7 +1478,11 @@ class IncrementalChunkIndex:
         )
         chunks = dd.chunk_rows(batch_docs, w=self.w).persist()
         try:
-            _, firsts, _ = self._flag_chunks(chunks)
+            # interval sizes over-count docs (gap absorption) — harmless:
+            # an overestimate only skips the fast path, never correctness
+            _, firsts, _ = self._flag_chunks(
+                chunks, n_docs=sum(hi - lo + 1 for lo, hi in ranges)
+            )
             firsts = firsts.persist()
             # lineage count from the already-persisted chunks — a second
             # corpus scan just for the counter would double the recovery

@@ -48,7 +48,10 @@ def publish_snapshot(
 ) -> str | None:
     """Publish ``version`` (default: current) as a plain parquet dataset.
     Returns the directory written, or None when that version is already
-    published (idempotent)."""
+    published WITH THE SAME partition spec (idempotent per (version,
+    spec) — the marker records the spec; a re-publish under a different
+    ``partition_by`` fails loudly instead of handing back the wrong
+    layout)."""
     table.refresh()
     v = table.version if version is None else version
     snap = table if version is None else table.at_version(version)
@@ -56,13 +59,32 @@ def publish_snapshot(
         if c not in [f.name for f in snap.schema.fields]:
             raise ValueError(f"partition_by: unknown column {c!r}")
     d = os.path.join(out_dir, f"v{v:08d}")
-    if os.path.exists(os.path.join(d, "_PUBLISHED")):
+    marker = os.path.join(d, "_PUBLISHED")
+    spec = ",".join(partition_by)
+    if os.path.exists(marker):
+        # the export is a pure function of (version, partition spec), so
+        # the marker records the SPEC too: silently no-opping on a
+        # different partition_by would hand the consumer the wrong layout
+        # with no error (review-caught)
+        with open(marker) as f:
+            have = f.read().strip()
+        if have not in (spec, "ok"):  # "ok" = pre-spec marker, spec was ()
+            raise ValueError(
+                f"version {v} already published to {d} with partition spec "
+                f"[{have}]; refusing to no-op a publish with spec [{spec}] "
+                f"— use a different out_dir for a different layout"
+            )
+        if have == "ok" and spec:
+            raise ValueError(
+                f"version {v} already published to {d} unpartitioned; "
+                f"refusing to no-op a publish with spec [{spec}]"
+            )
         return None
     df = snap.read()
     w = df.write
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(d, mode="overwrite")
-    with open(os.path.join(d, "_PUBLISHED"), "w") as f:
-        f.write("ok")
+    with open(marker, "w") as f:
+        f.write(spec)
     return d

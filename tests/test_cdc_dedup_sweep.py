@@ -164,3 +164,45 @@ def test_crash_between_corpus_and_index_heals_on_next_sweep(
     assert set(corpus) == {1, 2}
     # healed index made doc 1's chunks visible, so doc 2's P1 deduped
     assert corpus[2]["deduped_text"] == P3
+
+
+def test_seeded_index_does_not_inflate_watermark(spark, tmp_path, pipe):
+    """Snapshot seeding (caller-chosen doc ids BELOW the LSN space) must
+    not move the sweep watermark: the old interval-derived watermark
+    treated seed ids as swept LSNs and silently skipped every change row
+    at or below them (review-caught). The watermark now lives in the
+    sweep.lsn corpus property, committed atomically with each sweep."""
+    b1 = spark.createDataFrame(
+        [_ev(1, "insert", "https://a.example/", P1, P2),
+         _ev(2, "insert", "https://b.example/", P1, P3)], DDL)
+    pipe.apply_batch(spark, b1, batch_id=1)
+    pages = LakeTable.load(spark, pipe.table_path)
+    ix = IncrementalChunkIndex.create(spark, str(tmp_path / "ix"),
+                                      corpus_buckets=4, index_buckets=4)
+    seed = spark.createDataFrame([(-10, P1)], "doc_id long, text string")
+    ix.ingest(seed, "seed")
+    assert sweep_watermark(ix) == 0  # the seed moved NOTHING
+    res = sweep_into_chunk_index(pages, ix)
+    assert res["n_new"] == 2 and res["sweep_from_lsn"] == 1
+    assert sweep_watermark(ix) == 2
+    corpus = {r["doc_id"]: r for r in ix.corpus.read().collect()}
+    # both pages' P1 chunk dedupes against the SEED document
+    assert corpus[1]["deduped_text"] == P2
+    assert corpus[2]["deduped_text"] == P3
+
+
+def test_seed_ids_colliding_with_lsn_space_fail_loudly(spark, tmp_path, pipe):
+    """A seed whose ids land inside the WAL's LSN space now breaks the
+    first sweep LOUDLY at the monotone gate (previously: silent skip of
+    every change row at or below the seed ids)."""
+    b1 = spark.createDataFrame(
+        [_ev(1, "insert", "https://a.example/", P1, P2)], DDL)
+    pipe.apply_batch(spark, b1, batch_id=1)
+    pages = LakeTable.load(spark, pipe.table_path)
+    ix = IncrementalChunkIndex.create(spark, str(tmp_path / "ix"),
+                                      corpus_buckets=4, index_buckets=4)
+    seed = spark.createDataFrame([(500, P4)], "doc_id long, text string")
+    ix.ingest(seed, "bad-seed")
+    assert sweep_watermark(ix) == 0  # property authoritative, still 0
+    with pytest.raises(ValueError, match="monotone"):
+        sweep_into_chunk_index(pages, ix)

@@ -214,3 +214,21 @@ def test_chunk_ingest_cli(spark, tmp_path, capsys):
                  "--batch-id", "b2"]) == 0
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out3["replayed"] is True
+
+
+def test_expect_flag_requires_name_equals_sql():
+    """--expect without '=' must die as an ARGUMENT error naming the value,
+    not an opaque dict() ValueError mid-pipeline (review-caught)."""
+    import argparse
+
+    from migration_pair_spark.__main__ import _parse_expectations
+
+    p = argparse.ArgumentParser()
+    assert _parse_expectations(p, ["a=x > 0", "b=y = 'v'"]) == {
+        "a": "x > 0",
+        "b": "y = 'v'",
+    }
+    with pytest.raises(SystemExit):
+        _parse_expectations(p, ["missing_equals"])
+    with pytest.raises(SystemExit):
+        _parse_expectations(p, ["=pred_without_name"])

@@ -281,3 +281,27 @@ def test_probe_fast_path_matches_join_path(spark, tmp_path):
     # the index's ck column carries parquet blooms (the skip machinery the
     # fast path leans on)
     assert a.index.manifest.get("bloom_cols") == ["ck"]
+
+
+def test_tokenizer_identity_guard(spark, tmp_path):
+    """Persisted chunk keys embed the tokenizer: loading an index stamped
+    with a different (or missing) tokenizer id must fail loudly — the
+    keys would silently never match and every seen span would re-admit
+    (review-caught after the ws-v2 tokenizer change shipped unguarded)."""
+    root = str(tmp_path / "ix")
+    ix = IncrementalChunkIndex.create(
+        spark, root, corpus_buckets=4, index_buckets=4, w=W
+    )
+    assert ix.corpus.properties["chunk.tokenizer"]  # stamped at create
+    m = ix.corpus._next_manifest()
+    m["properties"]["chunk.tokenizer"] = "space-v1"
+    ix.corpus._write_manifest(m)
+    with pytest.raises(ValueError, match="tokenizer"):
+        IncrementalChunkIndex(spark, root)
+    # missing stamp (pre-guard index) is also refused, with guidance
+    ix.corpus.refresh()
+    m2 = ix.corpus._next_manifest()
+    m2["properties"].pop("chunk.tokenizer", None)
+    ix.corpus._write_manifest(m2)
+    with pytest.raises(ValueError, match="pre-stamping"):
+        IncrementalChunkIndex(spark, root)

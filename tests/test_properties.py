@@ -250,7 +250,9 @@ _url_parts = st.tuples(
         st.sampled_from(["a=1", "b=2", "z=", "utm_source=x", "ref=r"]),
         max_size=3,
     ),
-    st.sampled_from(["", "#f", "#a b"]),                      # fragment
+    # fragments include a '?'-bearing one: a '?' first appearing inside
+    # the fragment must NOT leak into the canonical query (review-caught)
+    st.sampled_from(["", "#f", "#a b", "#sec?x=1"]),          # fragment
 )
 
 

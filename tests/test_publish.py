@@ -78,3 +78,18 @@ def test_publish_crash_rerun_overwrites(spark, table, tmp_path, monkeypatch):
     d = pub.publish_snapshot(table, out)  # re-run completes
     assert d is not None
     assert _rows(spark.read.parquet(d)) == _rows(table.read())
+
+
+def test_publish_spec_mismatch_fails_loudly(spark, table, tmp_path):
+    """The marker records the partition spec: re-publishing the same
+    version under a DIFFERENT partition_by must raise, not silently
+    no-op with the wrong layout on disk (review-caught)."""
+    out = str(tmp_path / "pub")
+    assert publish_snapshot(table, out) is not None  # unpartitioned
+    assert publish_snapshot(table, out) is None      # same spec: idempotent
+    with pytest.raises(ValueError, match="partition spec|unpartitioned"):
+        publish_snapshot(table, out, partition_by=("language",))
+    out2 = str(tmp_path / "pub2")
+    assert publish_snapshot(table, out2, partition_by=("language",)) is not None
+    with pytest.raises(ValueError, match="partition spec"):
+        publish_snapshot(table, out2)

@@ -24,6 +24,11 @@ CANON_CASES = [
     ("http://example.com", "http://example.com/"),
     ("http://example.com#frag", "http://example.com/"),
     ("http://example.com/p#frag", "http://example.com/p"),
+    # a '?' INSIDE the fragment is fragment content, not a query — an
+    # unanchored query regex leaked it into the canonical key
+    # (review-caught): these two are the SAME page
+    ("http://example.com/p#sec?x=1", "http://example.com/p"),
+    ("http://example.com/p?a=1#sec?x=2", "http://example.com/p?a=1"),
     # tracking params dropped, remainder sorted; "?" omitted when empty
     ("http://e.com/p?utm_source=x&b=2&a=1", "http://e.com/p?a=1&b=2"),
     ("http://e.com/p?UTM_Campaign=x", "http://e.com/p"),
