@@ -11,6 +11,7 @@ to Spark-first subcommands:
     dedup-ingest      near-dup ingest of a doc batch vs the persisted index
     chunk-ingest      span-dedup ingest: rewrite a doc batch vs every seen chunk
     dedup-stream      the same loop as a Structured Streaming tail
+    lookup            point read of one key (bucket + zone + bloom pruned)
     retention         expire old snapshots + vacuum orphan data files
     changelog         snapshot-diff change feed between two table versions
     emit-changelog    deferred span emission (everything since last emit)
@@ -94,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
                          "sort rows within each bucket so zone maps get tight")
     cp.add_argument("--max-rows-per-file", type=int, default=None,
                     help="split each bucket into bounded sorted runs")
+
+    lk = sub.add_parser("lookup")
+    lk.add_argument("--table-path", required=True)
+    lk.add_argument("--key", required=True,
+                    help="key value (cast to the table's key type); reads "
+                         "ONE bucket, zone-map + bloom file pruning apply")
 
     de = sub.add_parser("describe")
     de.add_argument("--table-path", required=True)
@@ -488,6 +495,20 @@ def main(argv: list[str] | None = None) -> int:
         )
         stats = write_curated(curated, args.out)
         print(json.dumps({"out": args.out, "splits": stats}))
+    elif args.cmd == "lookup":
+        from pyspark.sql import types as T
+
+        from migration_pair_spark.lakehouse.table import LakeTable
+
+        table = LakeTable.load(spark, args.table_path)
+        kt = table.schema[table.key_col].dataType
+        key = (
+            int(args.key)
+            if isinstance(kt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+            else args.key
+        )
+        rows = [r.asDict() for r in table.lookup(key).collect()]
+        print(json.dumps({"key": key, "rows": rows}, default=str))
     elif args.cmd == "describe":
         from migration_pair_spark.lakehouse.table import LakeTable
 

@@ -141,6 +141,11 @@ class CdcPipeline:
     # files by them — e.g. ("warc_ts", "_lsn") makes time-window scans and
     # incremental LSN sweeps skip untouched files. Applies at CREATE time.
     stats_cols: tuple[str, ...] = ()
+    # parquet bloom filters: written inline for these columns in every data
+    # file (LakeTable bloom_filter_cols); point lookups on the key (e.g.
+    # "current text of url X") prune files a hash-distributed key's zone
+    # maps never can. Applies at CREATE time; ("url",) is the natural value.
+    bloom_filter_cols: tuple[str, ...] = ()
     # clustered auto-compaction: when the follow loop compacts, sort rows
     # within each bucket by these columns (and optionally split into
     # bounded sorted runs) so the zone maps above get TIGHT — see
@@ -185,6 +190,7 @@ class CdcPipeline:
             n_buckets=self.n_buckets,
             properties={EPOCH_PROP: "1"},
             stats_cols=self.stats_cols,
+            bloom_filter_cols=self.bloom_filter_cols,
         )
 
     # ------------------------------------------------------------ normalize

@@ -260,3 +260,26 @@ def test_in_list_pushdown_reaches_parquet(spark, tmp_table_dir):
         .toString()
     )
     assert "PushedFilters: [In(ck" in plan
+
+
+def test_cdc_pipeline_bloom_cols_and_lookup_cli(spark, tmp_path, capsys):
+    """bloom_filter_cols threads through CdcPipeline to the pages table,
+    and the lookup CLI surfaces the (bucket + zone + bloom)-pruned point
+    read — the 'current text of url X' path."""
+    from migration_pair_spark import synth
+    from migration_pair_spark.__main__ import main
+    from migration_pair_spark.cdc.runner import CdcPipeline
+
+    ev = str(tmp_path / "events")
+    synth.write_change_stream(ev, 300, 50, 3, seed=7)
+    pipe = CdcPipeline(
+        table_path=str(tmp_path / "t"), n_buckets=4, bloom_filter_cols=("url",)
+    )
+    pipe.run_stream(spark, ev, str(tmp_path / "ck"))
+    t = LakeTable.load(spark, pipe.table_path)
+    assert t.manifest["bloom_cols"] == ["url"]
+    url = t.read().limit(1).collect()[0]["url"]
+    assert t.lookup(url).count() == 1
+    assert t.lookup("https://no.such.page/x").count() == 0
+    assert main(["lookup", "--table-path", t.path, "--key", url]) == 0
+    assert url in capsys.readouterr().out
