@@ -87,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
                          "counted in lineage and handled per --on-violation")
     cr.add_argument("--on-violation", choices=["drop", "fail"],
                     default="drop")
+    cr.add_argument("--violations-dir", default=None,
+                    help="quarantine: write each batch's expectation-"
+                         "violating rows (+ _violated names) under this "
+                         "directory before the merge")
 
     cp = sub.add_parser("compact")
     cp.add_argument("--table-path", required=True)
@@ -292,6 +296,7 @@ def main(argv: list[str] | None = None) -> int:
             # inside dict() with an opaque ValueError (review-caught)
             expectations=_parse_expectations(p, args.expect),
             on_violation=args.on_violation,
+            violations_dir=args.violations_dir,
         )
         lineages = pipe.run_stream(
             spark, args.events, args.checkpoint,

@@ -42,6 +42,7 @@ skew and no join shuffle beyond the single hash partition by key.
 from __future__ import annotations
 
 import logging
+import os
 import time
 
 from pyspark.sql import DataFrame
@@ -169,6 +170,7 @@ def apply_cdc_batch(
     coalesce_bucket_files: bool = False,
     expectations: "dict[str, str] | None" = None,
     on_violation: str = "drop",
+    violations_dir: "str | None" = None,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns the
     lineage record (FIXTURES.md F4). Idempotent: re-applying any prefix,
@@ -209,7 +211,17 @@ def apply_cdc_batch(
         decision, and replay must not resurrect the row;
       - ``"fail"``: the batch raises BEFORE any commit (nothing applied;
         the stream stops loudly for upstream triage; exactly-once holds
-        because no state advanced)."""
+        because no state advanced).
+
+    ``violations_dir``: opt-in quarantine export — under ``drop``, the
+    batch's violating FRESH rows (original event columns plus a
+    ``_violated`` array of the expectation names each row failed) are
+    written to ``violations_dir/batch=<id>/`` before the merge. One extra
+    job per batch, and ONLY on batches that actually rejected rows (the
+    gate counts are known driver-side first). Delivery is at-least-once
+    per batch with a per-batch-dir overwrite (same contract as the
+    debezium DLQ): a crash between the export and the commit re-runs the
+    batch and rewrites the same directory; the TABLE stays exactly-once."""
     t0 = time.monotonic()
     phase_ms: dict[str, int] = {}  # per-phase wall breakdown (lineage)
 
@@ -238,7 +250,7 @@ def apply_cdc_batch(
         return _apply_cdc_batch_inner(
             table, batch, batch_id, epoch_registry, extract_text, write_mode,
             coalesce_bucket_files, expectations or {}, on_violation,
-            t0, phase_ms, _mark,
+            violations_dir, t0, phase_ms, _mark,
         )
 
 
@@ -252,6 +264,7 @@ def _apply_cdc_batch_inner(
     coalesce_bucket_files: bool,
     expectations: "dict[str, str]",
     on_violation: str,
+    violations_dir: "str | None",
     t0: float,
     phase_ms: dict,
     _mark,
@@ -321,6 +334,33 @@ def _apply_cdc_batch_inner(
         )
     t_phase = _mark("gate", t_phase)
 
+    # opt-in quarantine export of the violating fresh rows (contract in
+    # apply_cdc_batch's docstring) — gated on the driver-side counts so
+    # clean batches pay NOTHING, and written BEFORE the merge so a crash
+    # window never loses violators the commit has already decided on
+    if violations_dir and any(exp_counts.values()):
+        flags = F.array_compact(
+            F.array(
+                *[
+                    F.when(v, F.lit(name))
+                    for name, v in zip(exp_names, exp_viol)
+                ]
+            )
+        )
+        (
+            batch.filter(~is_stale)
+            .withColumn("_violated", flags)
+            .filter(F.size("_violated") > 0)
+            .write.mode("overwrite")
+            .parquet(os.path.join(violations_dir, f"batch={batch_id}"))
+        )
+        lineage_extra_violations = os.path.join(
+            violations_dir, f"batch={batch_id}"
+        )
+        t_phase = _mark("quarantine", t_phase)
+    else:
+        lineage_extra_violations = None
+
     from types import SimpleNamespace
 
     stats = SimpleNamespace(
@@ -373,6 +413,8 @@ def _apply_cdc_batch_inner(
         lineage_base["rows_rejected"] = int(
             sum(r["_exp_any"] or 0 for r in per_group)
         )
+        if lineage_extra_violations:
+            lineage_base["violations_path"] = lineage_extra_violations
     if stats.n == 0 or not batch_intervals:
         return {
             **lineage_base,

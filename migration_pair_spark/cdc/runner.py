@@ -165,6 +165,11 @@ class CdcPipeline:
     # fail the batch before any commit — see apply_cdc_batch
     expectations: dict[str, str] = field(default_factory=dict)
     on_violation: str = "drop"
+    # opt-in quarantine: violating fresh rows (original event columns +
+    # a _violated array of failed expectation names) export to
+    # <violations_dir>/batch=<id>/ before the merge — at-least-once per
+    # batch (overwrite-idempotent dir), table stays exactly-once
+    violations_dir: str | None = None
 
     @property
     def changelog_policy(self) -> str:
@@ -272,6 +277,7 @@ class CdcPipeline:
                             coalesce_bucket_files=self.coalesce_bucket_files,
                             expectations=self.expectations,
                             on_violation=self.on_violation,
+                            violations_dir=self.violations_dir,
                         )
                         self._maybe_changelog(table, sub)
                         lineages.append(sub)
@@ -314,6 +320,7 @@ class CdcPipeline:
             coalesce_bucket_files=self.coalesce_bucket_files,
             expectations=self.expectations,
             on_violation=self.on_violation,
+            violations_dir=self.violations_dir,
         )
         self._maybe_changelog(table, lineage)
         self._maybe_auto_compact(table, lineage)

@@ -1805,3 +1805,61 @@ def pack_sequences_docs(spark, sf_dir):
         .cast("long")
         .alias("seq_id"),
     )
+
+
+@q(
+    "point_lookup_docs",
+    """
+    SELECT doc_id, text FROM documents
+    WHERE doc_id IN (7,
+                     (SELECT max(doc_id) // 2 FROM documents),
+                     (SELECT max(doc_id) FROM documents),
+                     (SELECT max(doc_id) + 1000 FROM documents))
+    """,
+    "point reads through the lakehouse lookup path: documents land in a "
+    "bloom-filtered LakeTable (bloom_filter_cols on the key) and four "
+    "keys — three present, one absent — read back via lookup(), which "
+    "touches ONE bucket and prunes its files by zone map + parquet bloom "
+    "(the skip rung min/max can't reach on hash-distributed keys). "
+    "Oracle = the same keys via plain SQL; the absent key contributes no "
+    "row in either engine",
+)
+def point_lookup_docs(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from migration_pair_spark.lakehouse.table import LakeTable
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    keys = [7, mx // 2, mx, mx + 1000]  # the last is absent by construction
+    root = tempfile.mkdtemp(prefix="lookup-")
+    try:
+        tbl = LakeTable.create(
+            spark,
+            root,
+            T.StructType(
+                [
+                    T.StructField("doc_id", T.LongType(), False),
+                    T.StructField("text", T.StringType(), True),
+                ]
+            ),
+            key_col="doc_id",
+            n_buckets=8,
+            bloom_filter_cols=("doc_id",),
+        )
+        rows = (
+            docs.withColumn("_lsn", F.lit(0).cast("long"))
+            .withColumn("_deleted", F.lit(False))
+            .withColumn("_bucket", tbl.bucket_expr())
+        )
+        tbl.append_buckets(rows)
+        out = tbl.lookup(keys[0])
+        for k in keys[1:]:
+            out = out.unionByName(tbl.lookup(k))
+        # temp table dirs are deleted on return — materialize first
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -117,3 +117,41 @@ def test_expectations_through_the_stream(spark, tmp_path):
     t = LakeTable.load(spark, p.table_path)
     langs = {r.lang for r in t.read().collect()}
     assert langs == {"en"} and t.read().count() == 20
+
+
+def test_violations_quarantine_export(spark, tmp_path):
+    """violations_dir: violating fresh rows export (with the _violated
+    name array) before the merge; clean batches write nothing; replays
+    write nothing (rows no longer fresh); the table stays exactly-once."""
+    import os
+
+    q = str(tmp_path / "quarantine")
+    p = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=4,
+                    expectations=dict(EXPECT), violations_dir=q)
+    batch = _rows(spark, [
+        _ev(1, "https://a/1"),
+        _ev(2, "https://a/2", lang="zz"),
+        _ev(3, "https://a/3", lang="xx",
+            ts=datetime.datetime(1998, 1, 1)),  # violates BOTH
+    ])
+    lin = p.apply_batch(spark, batch, batch_id=7)
+    assert lin["rows_rejected"] == 2
+    assert lin["violations_path"] == os.path.join(q, "batch=7")
+    exported = spark.read.parquet(lin["violations_path"])
+    got = {r["url"]: sorted(r["_violated"]) for r in exported.collect()}
+    assert got == {
+        "https://a/2": ["lang_known"],
+        "https://a/3": ["lang_known", "ts_sane"],
+    }
+    # replay: rows are stale now -> no re-export, lineage has no path
+    lin2 = p.apply_batch(spark, batch, batch_id=7)
+    assert "violations_path" not in lin2
+    # clean batch: no extra job, no directory
+    clean = _rows(spark, [_ev(10, "https://a/10")])
+    lin3 = p.apply_batch(spark, clean, batch_id=8)
+    assert "violations_path" not in lin3
+    assert not os.path.exists(os.path.join(q, "batch=8"))
+    t = LakeTable.load(spark, p.table_path)
+    assert sorted(r.url for r in t.read().collect()) == [
+        "https://a/1", "https://a/10"
+    ]
