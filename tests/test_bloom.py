@@ -283,3 +283,38 @@ def test_cdc_pipeline_bloom_cols_and_lookup_cli(spark, tmp_path, capsys):
     assert t.lookup("https://no.such.page/x").count() == 0
     assert main(["lookup", "--table-path", t.path, "--key", url]) == 0
     assert url in capsys.readouterr().out
+
+
+def test_bloom_survives_compaction_and_mor(spark, tmp_table_dir):
+    """Compaction rewrites files through the same _table_write, so the
+    rewritten files carry blooms too; MOR delta appends likewise. lookup
+    stays correct before and after the fold."""
+    t = LakeTable.create(
+        spark,
+        tmp_table_dir,
+        LONG_SCHEMA,
+        key_col="ck",
+        n_buckets=2,
+        bloom_filter_cols=("ck",),
+        bloom_ndv=1000,
+    )
+    for c in range(3):
+        _commit(
+            spark, t,
+            [{"ck": c * 1000 + i, "v": c} for i in range(150)],
+            lsn=c + 1,
+        )
+    t.compact()
+    import os
+
+    entries = [e for fs in t.manifest["buckets"].values() for e in fs]
+    assert entries
+    for e in entries:
+        fp = os.path.join(t.path, e["path"])
+        # every compacted file still answers bloom queries (True for one
+        # of its own keys is implied by prune keeping >= 1 file below)
+        assert t._bloom_might_contain(fp, "ck", 999_999_999) is False
+    kept, skipped = t.bloom_prune_entries(entries, "ck", 2005)
+    assert len(kept) >= 1
+    assert [r["v"] for r in t.lookup(2005).collect()] == [2]
+    assert t.lookup(555_555).count() == 0

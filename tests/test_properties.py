@@ -302,3 +302,58 @@ def test_canonical_url_idempotent_and_part_exact(spark, parts_list):
         return f"{scheme}://{netloc}{path}{q}"
 
     assert once == [model(p) for p in parts_list]
+
+
+# -- bloom-filter soundness (lakehouse/table.py) ------------------------------
+
+_key_lists = st.lists(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1,
+        max_size=30, unique=True,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_key_lists, st.integers(min_value=-(2**62), max_value=2**62))
+def test_bloom_pruning_is_sound(spark, tmp_path_factory, commits, probe):
+    """For ANY committed key sets and ANY probe value: bloom file pruning
+    never drops a file that contains the probe (no false negatives —
+    blooms may keep extra files, never lose the match), and lookup()
+    equals the full-scan filter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from migration_pair_spark.lakehouse.table import LakeTable
+
+    path = str(tmp_path_factory.mktemp("bloomprop") / "t")
+    schema = T.StructType([T.StructField("k", T.LongType(), False)])
+    t = LakeTable.create(
+        spark, path, schema, key_col="k", n_buckets=1,
+        bloom_filter_cols=("k",), bloom_ndv=100,
+    )
+    for i, keys in enumerate(commits):
+        phys = t._physical_schema(t.manifest["schema_version"])
+        df = (
+            spark.createDataFrame(
+                [{"k": k, "_lsn": i, "_deleted": False} for k in keys], phys
+            )
+            .coalesce(1)
+            .withColumn("_bucket", t.bucket_expr())
+        )
+        t.append_buckets(df)
+    entries = t.manifest["buckets"]["0"]
+    kept, _ = t.bloom_prune_entries(entries, "k", probe)
+    kept_paths = {e["path"] for e in kept}
+    for e, keys in zip(entries, commits):
+        if probe in keys:
+            assert e["path"] in kept_paths  # soundness: owner never pruned
+    want = sorted(r["k"] for r in t.read().filter(F.col("k") == probe).collect())
+    got = sorted(r["k"] for r in t.lookup(probe).collect())
+    assert got == want
