@@ -507,11 +507,18 @@ def main(argv: list[str] | None = None) -> int:
 
         table = LakeTable.load(spark, args.table_path)
         kt = table.schema[table.key_col].dataType
-        key = (
-            int(args.key)
-            if isinstance(kt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
-            else args.key
-        )
+        if isinstance(kt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            try:
+                key = int(args.key)
+            except ValueError:
+                # argument error naming the value, not a raw traceback —
+                # same contract as --expect (review-caught)
+                p.error(
+                    f"--key must be an integer for key column "
+                    f"{table.key_col!r} ({kt.simpleString()}), got {args.key!r}"
+                )
+        else:
+            key = args.key
         rows = [r.asDict() for r in table.lookup(key).collect()]
         print(json.dumps({"key": key, "rows": rows}, default=str))
     elif args.cmd == "describe":

@@ -56,7 +56,6 @@ from migration_pair_spark.lakehouse.table import LakeTable
 from migration_pair_spark.operators.incremental import (
     SWEEP_PROP,
     IncrementalChunkIndex,
-    applied_ranges,
 )
 
 
@@ -64,18 +63,19 @@ def sweep_watermark(ix: IncrementalChunkIndex) -> int:
     """The highest pages-table ``_lsn`` already swept into the index.
 
     Authoritative source: the ``sweep.lsn`` corpus property each sweep
-    commits atomically with its batch. Deriving it from the corpus's
-    applied doc-id intervals (the original design) CONFLATED the two id
-    spaces: a snapshot seed ingested with caller-chosen doc ids above the
-    WAL's current LSN inflated the watermark and made every sweep skip
-    real change rows forever, silently (review-caught). Legacy fallback
-    for indexes built before the property existed: the interval top,
-    clamped to >= 0 — correct only when the corpus holds ONLY swept LSNs."""
-    p = ix.corpus.properties
-    if SWEEP_PROP in p:
-        return int(p[SWEEP_PROP])
-    ranges = applied_ranges(ix.corpus)
-    return max(0, max((hi for _, hi in ranges), default=0))
+    commits atomically with its batch (stamped "0" at index create).
+    Deriving it from the corpus's applied doc-id intervals (the original
+    design) CONFLATED the two id spaces: a snapshot seed ingested with
+    caller-chosen doc ids above the WAL's current LSN inflated the
+    watermark and made every sweep skip real change rows forever,
+    silently (review-caught). A missing property reads as 0 — any index
+    old enough to lack it also predates the tokenizer stamp and cannot
+    load at all without manual property surgery, which must set both
+    (a derived fallback here would reproduce the inflated-watermark bug
+    in exactly that migration state — review-caught, pass 2); a from-0
+    re-sweep against an already-populated corpus then fails the monotone
+    gate LOUDLY rather than skipping anything."""
+    return int(ix.corpus.properties.get(SWEEP_PROP, "0"))
 
 
 def sweep_into_chunk_index(

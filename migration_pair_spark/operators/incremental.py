@@ -1302,6 +1302,20 @@ class IncrementalChunkIndex:
                 self.last_probe_mode = "isin"
                 probe_buckets = sorted({int(r["_b"]) for r in small})
                 keys = [r["ck"] for r in small]
+                # the pushdown only happens while the session's IN-list
+                # threshold exceeds the list (default 10 falls back to a
+                # min..max range — useless on md5-uniform keys, and the
+                # fast path would silently read every probed row group's
+                # data pages). session.py raises it, but this code must
+                # hold on DRIVER-OWNED sessions too (the correctness
+                # harness hands us one), and whenever probe_isin_max_keys
+                # is raised past the session value — so ensure it here;
+                # runtime-settable, and raising it is globally safe
+                # (review-caught, pass 2)
+                conf_key = "spark.sql.parquet.pushdown.inFilterThreshold"
+                cur = int(self.spark.conf.get(conf_key, "10"))
+                if cur <= len(keys):
+                    self.spark.conf.set(conf_key, str(len(keys) + 1))
                 # pushed-IN scan: parquet-mr skips row groups via the ck
                 # bloom filters, so this reads footers + blooms, not the
                 # index's data pages; the surviving rows are a subset of

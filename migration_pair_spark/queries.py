@@ -1834,7 +1834,12 @@ def point_lookup_docs(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
-    keys = [7, mx // 2, mx, mx + 1000]  # the last is absent by construction
+    if mx is None:
+        return docs  # empty table: the oracle's IN matches nothing too
+    # dedup: on tiny fixtures 7 == mx//2 is possible, and the oracle's IN
+    # is inherently set-semantics while a union of lookups is not
+    # (review-caught); the last key is absent by construction
+    keys = sorted({7, mx // 2, mx, mx + 1000})
     root = tempfile.mkdtemp(prefix="lookup-")
     try:
         tbl = LakeTable.create(

@@ -40,6 +40,24 @@ def published_versions(out_dir: str) -> list[int]:
     return sorted(out)
 
 
+def _infer_partition_chain(d: str) -> list[str]:
+    """The partitionBy column chain of an existing export, read off the
+    directory layout (Spark nests one `col=value` level per partition
+    column). Used only for legacy markers that recorded no spec."""
+    cols: list[str] = []
+    cur = d
+    while True:
+        subs = [
+            n for n in sorted(os.listdir(cur))
+            if "=" in n and not n.startswith("_")
+            and os.path.isdir(os.path.join(cur, n))
+        ]
+        if not subs:
+            return cols
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+
+
 def publish_snapshot(
     table: LakeTable,
     out_dir: str,
@@ -65,19 +83,20 @@ def publish_snapshot(
         # the export is a pure function of (version, partition spec), so
         # the marker records the SPEC too: silently no-opping on a
         # different partition_by would hand the consumer the wrong layout
-        # with no error (review-caught)
+        # with no error (review-caught). Markers written before spec
+        # recording ("ok") infer the spec from the on-disk partition
+        # directory chain — assuming they were unpartitioned would both
+        # false-raise on legacy partitioned re-publishes and reintroduce
+        # the silent-no-op for mismatched ones (review-caught, pass 2).
         with open(marker) as f:
             have = f.read().strip()
-        if have not in (spec, "ok"):  # "ok" = pre-spec marker, spec was ()
+        if have == "ok":
+            have = ",".join(_infer_partition_chain(d))
+        if have != spec:
             raise ValueError(
                 f"version {v} already published to {d} with partition spec "
                 f"[{have}]; refusing to no-op a publish with spec [{spec}] "
                 f"— use a different out_dir for a different layout"
-            )
-        if have == "ok" and spec:
-            raise ValueError(
-                f"version {v} already published to {d} unpartitioned; "
-                f"refusing to no-op a publish with spec [{spec}]"
             )
         return None
     df = snap.read()

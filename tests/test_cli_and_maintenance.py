@@ -232,3 +232,19 @@ def test_expect_flag_requires_name_equals_sql():
         _parse_expectations(p, ["missing_equals"])
     with pytest.raises(SystemExit):
         _parse_expectations(p, ["=pred_without_name"])
+
+
+def test_lookup_cli_rejects_non_integer_key_for_int_table(spark, tmp_path):
+    """--key on an integer-keyed table must fail as an argument error,
+    not a raw int() traceback (review-caught)."""
+    from pyspark.sql import types as T
+
+    from migration_pair_spark.__main__ import main
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([T.StructField("k", T.LongType(), False)]),
+        key_col="k", n_buckets=2,
+    )
+    with pytest.raises(SystemExit):
+        main(["lookup", "--table-path", t.path, "--key", "abc"])

@@ -93,3 +93,25 @@ def test_publish_spec_mismatch_fails_loudly(spark, table, tmp_path):
     assert publish_snapshot(table, out2, partition_by=("language",)) is not None
     with pytest.raises(ValueError, match="partition spec"):
         publish_snapshot(table, out2)
+
+
+def test_publish_legacy_ok_marker_infers_spec(spark, table, tmp_path):
+    """Markers written before spec recording ('ok') infer the spec from
+    the on-disk partition chain: legacy idempotent re-publishes stay
+    no-ops and mismatches still raise (review-caught: assuming legacy
+    meant unpartitioned false-raised on partitioned re-publishes AND
+    silently no-opped mismatched unpartitioned ones)."""
+    out = str(tmp_path / "pub")
+    d = publish_snapshot(table, out, partition_by=("language",))
+    with open(os.path.join(d, "_PUBLISHED"), "w") as f:
+        f.write("ok")  # simulate the pre-spec marker
+    assert publish_snapshot(table, out, partition_by=("language",)) is None
+    with pytest.raises(ValueError, match="partition spec"):
+        publish_snapshot(table, out)
+    out2 = str(tmp_path / "pub2")
+    d2 = publish_snapshot(table, out2)  # unpartitioned
+    with open(os.path.join(d2, "_PUBLISHED"), "w") as f:
+        f.write("ok")
+    assert publish_snapshot(table, out2) is None
+    with pytest.raises(ValueError, match="partition spec"):
+        publish_snapshot(table, out2, partition_by=("language",))
