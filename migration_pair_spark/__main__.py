@@ -14,6 +14,7 @@ to Spark-first subcommands:
     lookup            point read of one key (bucket + zone + bloom pruned)
     retention         expire old snapshots + vacuum orphan data files
     changelog         snapshot-diff change feed between two table versions
+                      (--format debezium-json: replica-fan-out envelopes)
     emit-changelog    deferred span emission (everything since last emit)
     curate            documents parquet -> deduped/filtered/split corpus
     package           build the --py-files zip for spark-submit
@@ -140,6 +141,12 @@ def main(argv: list[str] | None = None) -> int:
     cl.add_argument("--to-version", type=int, default=None,
                     help="default: current version")
     cl.add_argument("--out", required=True)
+    cl.add_argument("--format", choices=["parquet", "debezium-json"],
+                    default="parquet",
+                    help="debezium-json: the span as ONE envelope JSONL "
+                         "file a second engine instance can ingest "
+                         "(--source-format debezium-json) — replica "
+                         "fan-out through the change feed")
 
     ec = sub.add_parser("emit-changelog")
     ec.add_argument("--table-path", required=True)
@@ -475,6 +482,27 @@ def main(argv: list[str] | None = None) -> int:
                 f"({args.from_version} >= {v_to}): a reversed diff would emit "
                 f"an inverted feed"
             )
+        if args.format == "debezium-json":
+            from migration_pair_spark.cdc.runner import pages_wire_payload_schema
+            from migration_pair_spark.sources.debezium import (
+                export_changelog_debezium,
+            )
+
+            # pages tables mirror through the standard wire schema; other
+            # tables fall back to their own schema
+            wire = (
+                pages_wire_payload_schema()
+                if table.key_col == "url"
+                else None
+            )
+            f = export_changelog_debezium(
+                table, args.out, args.from_version, v_to, payload_schema=wire
+            )
+            print(json.dumps({
+                "out": f, "from": args.from_version, "to": v_to,
+                "already_exported": f is None,
+            }))
+            return 0
         d = materialize_changelog(table, args.out, args.from_version, v_to)
         # idempotent replay: the directory is deterministic, report it even
         # when this invocation materialized nothing

@@ -281,3 +281,139 @@ def stream_debezium_jsonl(
         .text(path)
     )
     return parse_debezium(raw, payload_schema, keep_corrupt=True)
+
+
+# ---------------------------------------------------------------- export side
+
+def changelog_to_debezium(
+    feed: DataFrame,
+    key: str,
+    payload_schema: T.StructType,
+    lsn_base: int,
+    epoch: "int | None" = None,
+) -> DataFrame:
+    """A snapshot-diff change feed (cdc/changelog.snapshot_diff rows:
+    ``change_type`` + key + v_to-schema user columns) as Debezium envelope
+    JSON lines — ONE envelope per changed key: the update_before /
+    update_after pair collapses into a single ``u`` envelope carrying BOTH
+    images (Debezium's native update shape); inserts become ``c`` with the
+    after image, deletes ``d`` with the before image.
+
+    Per-envelope LSNs are synthesized deterministically as
+    ``lsn_base + rank(key)`` so a SECOND engine instance can ingest the
+    export through the standard apply gate (unique within the span,
+    monotone across spans when the exporter hands out increasing bases —
+    export_changelog_debezium derives them from v_to). Scale note: the
+    rank is one global sort of the span's CHANGED KEYS, not the table;
+    the cluster-scale form shards by bucket with per-shard bases, same
+    contract."""
+    from pyspark.sql import Window as W
+
+    feed_cols = set(feed.columns)
+    wire = wire_payload_schema(payload_schema)
+    parts = []
+    for f, wf in zip(payload_schema.fields, wire.fields):
+        if f.name in feed_cols:
+            x = F.col(f.name)
+            if isinstance(f.dataType, T.BinaryType):
+                x = F.base64(x)
+            elif isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+                x = F.unix_millis(x.cast("timestamp"))
+        else:
+            x = F.lit(None).cast(wf.dataType)
+        parts.append(x.alias(f.name))
+    pay = F.struct(*parts)
+
+    ct = F.col("change_type")
+    g = feed.groupBy(key).agg(
+        # any_value(ignoreNulls): at most ONE non-null per kind per key
+        # (snapshot_diff emits one change per key per span), so this is
+        # deterministic — and unlike max(struct) it stays hash-aggregable
+        F.any_value(F.when(ct == "insert", pay), True).alias("_ins"),
+        F.any_value(F.when(ct == "delete", pay), True).alias("_del"),
+        F.any_value(F.when(ct == "update_before", pay), True).alias("_ub"),
+        F.any_value(F.when(ct == "update_after", pay), True).alias("_ua"),
+    )
+    env = F.struct(
+        F.coalesce(F.col("_del"), F.col("_ub")).alias("before"),
+        F.coalesce(F.col("_ins"), F.col("_ua")).alias("after"),
+        F.struct(
+            (F.lit(lsn_base) + F.row_number().over(W.orderBy(key)))
+            .cast("long")
+            .alias("lsn"),
+            F.lit(epoch).cast("int").alias("schema_epoch"),
+        ).alias("source"),
+        F.when(F.col("_ins").isNotNull(), "c")
+        .when(F.col("_del").isNotNull(), "d")
+        .otherwise("u")
+        .alias("op"),
+        F.lit(None).cast("long").alias("ts_ms"),
+    )
+    return g.select(F.to_json(env).alias("value"))
+
+
+def export_changelog_debezium(
+    table,
+    out_dir: str,
+    v_from: int,
+    v_to: "int | None" = None,
+    payload_schema: "T.StructType | None" = None,
+) -> "str | None":
+    """Materialize the v_from -> v_to snapshot diff as ONE Debezium JSONL
+    envelope file ``out_dir/span-<vfrom>-<vto>.jsonl`` — the engine as a
+    change PRODUCER. One file == one LSN-contiguous chunk, exactly the
+    delivery contract both change sources consume, so a downstream engine
+    instance pointed at ``out_dir`` (``source_format="debezium-json"``)
+    REPLICATES the table: state(B) converges to state(A at v_to), pinned
+    in tests/test_changelog_export.py.
+
+    Idempotent per span (immutable snapshots: the file is a pure function
+    of (v_from, v_to, payload schema)); an existing span file
+    short-circuits to None. Each span gets lsn_base = v_to << 24 — bases
+    grow with v_to, keeping synthesized LSNs monotone across spans; a
+    span with >= 2^24 changed keys would collide with the next base, so
+    it refuses (split the span by exporting intermediate versions).
+
+    ``payload_schema`` defaults to the table's CURRENT schema; pass the
+    receiver's wire payload schema (e.g. runner.pages_wire_payload_schema)
+    when mirroring into a standard pages pipeline."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from migration_pair_spark.cdc.apply import EPOCH_PROP
+    from migration_pair_spark.cdc.changelog import snapshot_diff
+
+    v_to = table.version if v_to is None else v_to
+    if v_from >= v_to:
+        raise ValueError(f"export span must advance ({v_from} >= {v_to})")
+    final = os.path.join(out_dir, f"span-{v_from:08d}-{v_to:08d}.jsonl")
+    if os.path.exists(final):
+        return None
+    payload_schema = payload_schema or table.schema
+    epoch_raw = table.manifest_at(v_to)["properties"].get(EPOCH_PROP)
+    epoch = int(epoch_raw) if epoch_raw is not None else None
+    feed = snapshot_diff(table, v_from, v_to)
+    df = changelog_to_debezium(
+        feed, table.key_col, payload_schema, lsn_base=v_to << 24, epoch=epoch
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f".tmp-span-{v_from:08d}-{v_to:08d}")
+    df.coalesce(1).write.mode("overwrite").text(tmp)
+    part = sorted(_glob.glob(os.path.join(tmp, "part-*")))
+    try:
+        if not part:  # empty span: no changed keys
+            return None
+        with open(part[0], "rb") as f:
+            n = sum(1 for _ in f)
+        if n >= 1 << 24:
+            raise ValueError(
+                f"span {v_from}->{v_to} has {n} changes (>= 2^24): LSN "
+                f"bases would collide — export intermediate versions"
+            )
+        if n == 0:
+            return None
+        os.replace(part[0], final)  # atomic publish
+        return final
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
