@@ -26,10 +26,12 @@ from migration_pair_spark.lakehouse.interface import UpsertTarget
 from migration_pair_spark.lakehouse.table import (
     AddColumn,
     AddStructField,
+    DropColumn,
     LakeTable,
     RenameColumn,
     RenameStructField,
     WidenColumn,
+    WidenStructField,
 )
 
 __all__ = [
@@ -38,6 +40,8 @@ __all__ = [
     "AddColumn",
     "RenameColumn",
     "WidenColumn",
+    "DropColumn",
     "AddStructField",
     "RenameStructField",
+    "WidenStructField",
 ]

@@ -164,6 +164,32 @@ class RenameStructField:
     new: str
 
 
+@dataclass(frozen=True)
+class DropColumn:
+    """Drop a top-level column — metadata-only, like Iceberg's drop: old
+    data files keep the bytes but reads project onto the current schema so
+    the column disappears everywhere. The DROP HISTORY makes replays no-op
+    and — crucially — fences old incarnations: a later re-ADD of the same
+    name reads as NULL from files written before the re-add (Iceberg gets
+    this from field ids; here the add/drop histories carry the same
+    information as version ordinals)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
+class WidenStructField:
+    """Widen a field inside a struct (or array<struct>) column, same
+    promotion lattice as top-level WidenColumn. Metadata-only: old files'
+    narrow struct fields are cast up on read by the recursive struct
+    conform (``_conform`` rebuilds structs field-by-field and casts
+    leaves)."""
+
+    column: str
+    name: str
+    new_type: str
+
+
 def _schema_from_json(s: str) -> T.StructType:
     return T.StructType.fromJson(json.loads(s))
 
@@ -515,25 +541,27 @@ class LakeTable:
 
     def _reconcile(self, df: DataFrame, from_version: int) -> DataFrame:
         """Map a DataFrame written at an older schema version onto the current
-        schema: apply the rename chain (top-level, then struct fields), add
-        missing columns/fields as nulls, cast widened types (Iceberg
-        name-mapping lite)."""
+        schema (Iceberg name-mapping lite): each CURRENT field resolves to
+        its physical write-time name by reverse-chasing the rename history
+        (never a forward in-place rename walk — a dropped column whose name
+        a later rename reuses would collide), struct-field renames rewrite
+        in place, missing columns/fields read as nulls, widened types cast
+        up."""
         m = self.manifest
-        for r in m["renames"]:
-            if r["at_schema_version"] > from_version and r["old"] in df.columns:
-                df = df.withColumnRenamed(r["old"], r["new"])
 
         def cur_name(name: str) -> str:
-            # a struct rename recorded under a column name that was ITSELF
-            # renamed later must chase to the column's current name — the
-            # top-level pass above already put df's columns there
+            # chase a history-time column spelling to the CURRENT name
+            # (struct renames are recorded under the column name as of
+            # their own epoch, which a later top-level rename may move)
             for r in m["renames"]:
                 if r["old"] == name:
                     name = r["new"]
             return name
 
         for r in m.get("struct_renames", []):
-            col = cur_name(r["column"])
+            # the df still carries WRITE-TIME column names here: resolve
+            # the struct column's current spelling back to the file version
+            col = self._name_at_version(cur_name(r["column"]), from_version)
             if r["at_schema_version"] <= from_version or col not in df.columns:
                 continue
             have = df.schema[col].dataType
@@ -564,13 +592,27 @@ class LakeTable:
                     ),
                 )
         cur = self.schema
+        # incarnation fence (drop + re-add): a column (re-)added at schema
+        # version A must read as NULL from files written BEFORE A even when
+        # they physically carry a same-named column — that column is a
+        # dropped earlier incarnation (Iceberg fences this with field ids;
+        # the add history + version ordinals carry the same information).
+        # Normal adds are unaffected: pre-add files lack the column anyway.
+        born: dict[str, int] = {}
+        for a in m.get("adds", []):
+            name = a["name"]
+            for r in m["renames"]:
+                if r["at_schema_version"] > a["at_schema_version"] and r["old"] == name:
+                    name = r["new"]
+            born[name] = max(born.get(name, 0), a["at_schema_version"])
         cols = []
         for field in cur.fields:
-            if field.name in df.columns:
+            phys = self._name_at_version(field.name, from_version)
+            if phys in df.columns and from_version >= born.get(field.name, 0):
                 cols.append(
                     self._conform(
-                        F.col(field.name),
-                        df.schema[field.name].dataType,
+                        F.col(phys),
+                        df.schema[phys].dataType,
                         field.dataType,
                     ).alias(field.name)
                 )
@@ -1427,10 +1469,10 @@ class LakeTable:
 
     def evolve_schema(
         self,
-        ops: "list[AddColumn | RenameColumn | WidenColumn | AddStructField | RenameStructField]",
+        ops: "list[AddColumn | RenameColumn | WidenColumn | DropColumn | AddStructField | RenameStructField | WidenStructField]",
     ) -> int:
-        """Apply add/rename/widen (top-level) and add/rename (struct fields)
-        as a metadata-only commit (no data rewrite);
+        """Apply add/rename/widen/drop (top-level) and add/rename/widen
+        (struct fields) as a metadata-only commit (no data rewrite);
         old files are reconciled on read. Incompatible ops hard-fail —
         reference analog: the schema-compliance gate
         /root/reference/Tasks/EndToEnd.cs:51-85, turned from a rejector into
@@ -1459,8 +1501,18 @@ class LakeTable:
                     name = r["new"]
             return name
 
+        def chase_from(name: str, sv: int) -> str:
+            # version-aware chase: only renames AFTER sv apply — lets a
+            # history entry recorded under a since-reused name resolve to
+            # the column it actually described at the time
+            for r in m["renames"]:
+                if r["at_schema_version"] > sv and r["old"] == name:
+                    name = r["new"]
+            return name
+
         widens = m.setdefault("widens", [])
         adds = m.setdefault("adds", [])
+        drops = m.setdefault("drops", [])
         widen_ok = {
             ("int", "bigint"),
             ("smallint", "int"),
@@ -1487,8 +1539,17 @@ class LakeTable:
                 # indistinguishable from a crash-replay of the original
                 # epoch, and wedging every replay is the worse failure.
                 # Re-adds with a different type still hard-fail below.
+                # An add entry is SUPERSEDED (no longer evidence of a
+                # replay) once a later DROP retired that incarnation — a
+                # genuine re-add after a drop must apply, not no-op.
                 if any(
-                    a["name"] == op.name and a["type"] == want.simpleString()
+                    a["name"] == op.name
+                    and a["type"] == want.simpleString()
+                    and not any(
+                        d["name"] == chase_from(a["name"], a["at_schema_version"])
+                        and d["at_schema_version"] > a["at_schema_version"]
+                        for d in drops
+                    )
                     for a in adds
                 ):
                     continue
@@ -1690,6 +1751,109 @@ class LakeTable:
                         "column": col,
                         "old": op.old,
                         "new": op.new,
+                        "at_schema_version": new_sv,
+                    }
+                )
+                changed = True
+            elif isinstance(op, DropColumn):
+                cur_name = chase(op.name)
+                if cur_name not in names:
+                    # replay iff the drop history records it; a drop of a
+                    # column re-added by a LATER epoch cannot replay (the
+                    # later epoch proves this one's EPOCH_PROP advanced),
+                    # so name-absent + history-present is exactly a replay
+                    if any(d["name"] == cur_name for d in drops):
+                        continue
+                    raise ValueError(f"cannot drop missing column {op.name}")
+                protected = {m["key_col"], *m.get("lww_order", [])}
+                if cur_name in protected:
+                    raise ValueError(
+                        f"cannot drop {cur_name}: merge key / LWW order "
+                        f"columns are structural"
+                    )
+                i = names.index(cur_name)
+                del fields[i]
+                del names[i]
+                drops.append(
+                    {"name": cur_name, "at_schema_version": new_sv}
+                )
+                # scrub zone-map / bloom declarations that chased to the
+                # dropped name — future commits must not look for it
+                for key in ("stats_cols", "bloom_cols"):
+                    kept = [
+                        c
+                        for c in m.get(key) or []
+                        if chase(c) != cur_name
+                    ]
+                    if m.get(key) and kept != m[key]:
+                        m[key] = kept
+                changed = True
+            elif isinstance(op, WidenStructField):
+                col = chase(op.column)
+                if col not in names:
+                    raise ValueError(
+                        f"cannot widen field in missing column {op.column}"
+                    )
+                i = names.index(col)
+                dt = fields[i].dataType
+                is_array = isinstance(dt, T.ArrayType) and isinstance(
+                    dt.elementType, T.StructType
+                )
+                target = dt.elementType if is_array else dt
+                if not isinstance(target, T.StructType):
+                    raise ValueError(
+                        f"cannot widen field in non-struct column {col}"
+                    )
+                srenames = m.get("struct_renames", [])
+
+                def fchase(fname: str) -> str:
+                    for r in srenames:
+                        if chase(r["column"]) == col and r["old"] == fname:
+                            fname = r["new"]
+                    return fname
+
+                fname = fchase(op.name)
+                if fname not in target.fieldNames():
+                    raise ValueError(
+                        f"cannot widen missing field {col}.{op.name}"
+                    )
+                old_t = target[fname].dataType.simpleString()
+                new_t = T._parse_datatype_string(op.new_type)
+                swidens = m.setdefault("struct_widens", [])
+                replayed = any(
+                    chase(w["column"]) == col
+                    and fchase(w["name"]) == fname
+                    and w["to"] == new_t.simpleString()
+                    for w in swidens
+                )
+                if old_t == new_t.simpleString() or replayed:
+                    continue  # replay, or already at the target type
+                if (old_t, new_t.simpleString()) not in widen_ok:
+                    raise ValueError(
+                        f"incompatible widen {col}.{op.name}: "
+                        f"{old_t} -> {new_t.simpleString()}"
+                    )
+                widened = T.StructType(
+                    [
+                        T.StructField(f.name, new_t, True)
+                        if f.name == fname
+                        else f
+                        for f in target.fields
+                    ]
+                )
+                fields[i] = T.StructField(
+                    col,
+                    T.ArrayType(widened, dt.containsNull)
+                    if is_array
+                    else widened,
+                    fields[i].nullable,
+                )
+                swidens.append(
+                    {
+                        "column": col,
+                        "name": fname,
+                        "from": old_t,
+                        "to": new_t.simpleString(),
                         "at_schema_version": new_sv,
                     }
                 )

@@ -426,3 +426,165 @@ def test_array_of_struct_evolution_replay_straddling_restart(spark, tmp_path):
     rows = {r["url"]: r["regions"] for r in t2.read().collect()}
     assert [e["category"] for e in rows["a"]] == ["cat", "cat"]
     assert all(e["score"] is None for e in rows["a"])
+
+
+# ------------------------------------------------------- drop / struct widen
+
+
+def _flat_table(spark, path, stats_cols=()):
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("a", T.IntegerType(), True),
+            T.StructField("b", T.StringType(), True),
+        ]
+    )
+    return LakeTable.create(
+        spark, path, schema, key_col="url", n_buckets=4, stats_cols=stats_cols
+    )
+
+
+def _flat_rows(spark, urls, a=1, b="x"):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(url=u, a=a, b=b) for u in urls], "url string, a int, b string"
+    )
+
+
+def _append(t, df, lsn=1):
+    """Incremental append at the CURRENT schema (append_bucketed is the
+    pristine bulk load — it replaces every bucket)."""
+    t.append_buckets(
+        df.withColumn("_lsn", F.lit(lsn).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+        .withColumn("_bucket", t.bucket_expr())
+    )
+
+
+def test_drop_column_is_metadata_only(spark, tmp_path):
+    """DropColumn removes the column from the current schema without
+    touching data files; old files' bytes stay but every read projects the
+    column away. Replays no-op via the drop history; structural columns
+    (merge key, LWW order) refuse."""
+    from migration_pair_spark.lakehouse.table import DropColumn
+
+    t = _flat_table(spark, str(tmp_path / "t"), stats_cols=("a", "b"))
+    t.append_bucketed(_flat_rows(spark, ["u1", "u2"], a=7, b="keep"))
+    v = t.evolve_schema([DropColumn("b")])
+    assert [f.name for f in t.schema.fields] == ["url", "a"]
+    # zone-map declaration for the dropped column is scrubbed
+    assert t.manifest.get("stats_cols") == ["a"]
+    # old rows read back without the column, values intact
+    rows = {r["url"]: r["a"] for r in t.read().collect()}
+    assert rows == {"u1": 7, "u2": 7}
+    assert "b" not in t.read().columns
+    # crash-replay of the same drop: no-op, no new snapshot
+    assert t.evolve_schema([DropColumn("b")]) == v
+    # reloaded table replays the drop as a no-op too (restart window)
+    t2 = LakeTable.load(spark, t.path)
+    assert t2.evolve_schema([DropColumn("b")]) == v
+    # a drop of a never-existing column is a genuine error
+    with pytest.raises(ValueError, match="missing column"):
+        t.evolve_schema([DropColumn("nope")])
+    # structural columns refuse
+    with pytest.raises(ValueError, match="structural"):
+        t.evolve_schema([DropColumn("url")])
+    # post-drop writes at the narrowed schema work and read back merged
+    _append(t, spark.createDataFrame([("u3", 9)], "url string, a int"))
+    rows = {r["url"]: r["a"] for r in t.read().collect()}
+    assert rows == {"u1": 7, "u2": 7, "u3": 9}
+
+
+def test_drop_then_readd_reads_null_from_old_files(spark, tmp_path):
+    """The incarnation fence: re-adding a dropped name must NOT resurrect
+    the old incarnation's bytes from pre-drop files (Iceberg's field-id
+    guarantee). Old rows read the re-added column as NULL; new rows carry
+    values."""
+    from migration_pair_spark.lakehouse.table import AddColumn, DropColumn
+
+    t = _flat_table(spark, str(tmp_path / "t"))
+    t.append_bucketed(_flat_rows(spark, ["old"], a=5, b="ghost"))
+    t.evolve_schema([DropColumn("b")])
+    # the re-add must APPLY (not be swallowed by the add history as a
+    # replay) even though a same-named same-typed column existed before
+    t.evolve_schema([AddColumn("b", "string")])
+    assert [f.name for f in t.schema.fields] == ["url", "a", "b"]
+    _append(
+        t,
+        spark.createDataFrame([("new", 6, "real")], "url string, a int, b string"),
+    )
+    rows = {r["url"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert rows["old"] == (5, None)  # ghost bytes fenced off
+    assert rows["new"] == (6, "real")
+
+
+def test_drop_chases_rename_and_frees_name(spark, tmp_path):
+    """A drop addressed by a PRE-rename name chases the rename history;
+    after the drop the name is free for a genuine rename target."""
+    from migration_pair_spark.lakehouse.table import DropColumn, RenameColumn
+
+    t = _flat_table(spark, str(tmp_path / "t"))
+    t.append_bucketed(_flat_rows(spark, ["u"], a=1, b="v"))
+    t.evolve_schema([RenameColumn("b", "b2")])
+    v = t.evolve_schema([DropColumn("b")])  # chases b -> b2, drops b2
+    assert [f.name for f in t.schema.fields] == ["url", "a"]
+    assert t.evolve_schema([DropColumn("b")]) == v  # replay no-ops
+    # freed name usable as a rename target now
+    t.evolve_schema([RenameColumn("a", "b2")])
+    rows = {r["url"]: r["b2"] for r in t.read().collect()}
+    assert rows == {"u": 1}
+
+
+def test_widen_struct_field_reconciles_old_files(spark, tmp_path):
+    """WidenStructField is metadata-only: old files' narrow struct fields
+    cast up on read (the recursive struct conform); replays no-op; genuine
+    narrowing / non-struct targets hard-fail."""
+    from migration_pair_spark.lakehouse.table import (
+        RenameStructField,
+        WidenStructField,
+    )
+    from pyspark.sql import Row
+
+    t = _nested_table(spark, str(tmp_path / "t"))
+    t.append_bucketed(_nested_rows(spark, ["a"], width=7, codec="vp9"))
+    v = t.evolve_schema([WidenStructField("meta", "width", "bigint")])
+    assert t.schema["meta"].dataType["width"].dataType == T.LongType()
+    rows = {r["url"]: r["meta"] for r in t.read().collect()}
+    assert rows["a"]["width"] == 7 and rows["a"]["codec"] == "vp9"
+    # replay no-ops, including when addressed through a later field rename
+    assert t.evolve_schema([WidenStructField("meta", "width", "bigint")]) == v
+    t.evolve_schema([RenameStructField("meta", "width", "w")])
+    v2 = t.version
+    assert t.evolve_schema([WidenStructField("meta", "width", "bigint")]) == v2
+    # genuine narrowing hard-fails; missing field / non-struct refuse
+    with pytest.raises(ValueError, match="incompatible widen"):
+        t.evolve_schema([WidenStructField("meta", "w", "int")])
+    with pytest.raises(ValueError, match="missing field"):
+        t.evolve_schema([WidenStructField("meta", "nope", "bigint")])
+    with pytest.raises(ValueError, match="non-struct"):
+        t.evolve_schema([WidenStructField("url", "x", "bigint")])
+    # post-evolution writes at the wide schema merge with reconciled rows
+    _append(
+        t,
+        spark.createDataFrame(
+            [Row(url="b", meta=Row(w=2**40, codec="av1"))],
+            "url string, meta struct<w:bigint, codec:string>",
+        ),
+    )
+    rows = {r["url"]: r["meta"]["w"] for r in t.read().collect()}
+    assert rows == {"a": 7, "b": 2**40}
+
+
+def test_widen_struct_field_in_array_of_struct(spark, tmp_path):
+    """The widen reaches element structs of array<struct<...>> columns,
+    like nested add/rename (per-region/per-frame metadata)."""
+    from migration_pair_spark.lakehouse.table import WidenStructField
+
+    t = _regions_table(spark, str(tmp_path / "t"))
+    t.append_bucketed(_region_rows(spark, ["a"], x=3, label="cat"))
+    t.evolve_schema([WidenStructField("regions", "x", "bigint")])
+    el = t.schema["regions"].dataType.elementType
+    assert el["x"].dataType == T.LongType()
+    rows = {r["url"]: r["regions"] for r in t.read().collect()}
+    assert [e["x"] for e in rows["a"]] == [3, 4]
