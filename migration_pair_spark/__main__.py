@@ -135,6 +135,26 @@ def main(argv: list[str] | None = None) -> int:
                          "than this are kept (concurrent uncommitted writes "
                          "look like orphans)")
 
+    pg = sub.add_parser("purge")
+    pg.add_argument("--table-path", required=True)
+    pg.add_argument("--key", action="append", default=[],
+                    help="key value to erase (repeatable)")
+    pg.add_argument("--keys-file", default=None,
+                    help="file with one key per line (blank lines skipped)")
+    pg.add_argument("--canonicalize", action="store_true",
+                    help="canonicalize URLs like ingest with "
+                         "canonicalize_key does (purging any crawl variant "
+                         "erases the canonical page)")
+    pg.add_argument("--erase-history", action="store_true",
+                    help="complete erasure across retained history: expire "
+                         "all but --keep-last snapshots and vacuum "
+                         "unreferenced files immediately")
+    pg.add_argument("--keep-last", type=int, default=1,
+                    help="snapshots retained by --erase-history")
+    pg.add_argument("--verify", action="store_true",
+                    help="audit afterwards: rows still matching per "
+                         "retained snapshot (empty == erasure complete)")
+
     cl = sub.add_parser("changelog")
     cl.add_argument("--table-path", required=True)
     cl.add_argument("--from-version", type=int, required=True)
@@ -455,6 +475,36 @@ def main(argv: list[str] | None = None) -> int:
             "deleted_files": len(deleted),
             "retained_snapshots": table.snapshot_versions(),
         }))
+    elif args.cmd == "purge":
+        from pyspark.sql import functions as F
+
+        from migration_pair_spark.lakehouse.table import LakeTable
+
+        keys = list(args.key)
+        if args.keys_file:
+            with open(args.keys_file) as fh:
+                keys.extend(line.strip() for line in fh if line.strip())
+        if not keys:
+            p.error("purge needs at least one --key or a --keys-file")
+        table = LakeTable.load(spark, args.table_path)
+        kdf = table._purge_keys_df(keys)
+        if args.canonicalize:
+            from migration_pair_spark.functions.webtext import canonical_url
+
+            k = F.col(table.key_col)
+            kdf = kdf.withColumn(table.key_col, F.coalesce(canonical_url(k), k))
+        version = table.purge_keys(kdf)
+        out = {"snapshot_id": version, "lineage": table.lineage}
+        if args.erase_history:
+            out["expired_versions"] = table.expire_snapshots(
+                keep_last=args.keep_last
+            )
+            out["vacuumed_files"] = len(table.vacuum(older_than_s=0.0))
+        if args.verify:
+            out["remaining_by_version"] = {
+                str(v): n for v, n in table.verify_purged(kdf).items()
+            }
+        print(json.dumps(out))
     elif args.cmd == "emit-changelog":
         from migration_pair_spark.cdc.changelog import emit_span
         from migration_pair_spark.lakehouse.table import LakeTable

@@ -171,6 +171,7 @@ def apply_cdc_batch(
     expectations: "dict[str, str] | None" = None,
     on_violation: str = "drop",
     violations_dir: "str | None" = None,
+    suppress_keys: "DataFrame | None" = None,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns the
     lineage record (FIXTURES.md F4). Idempotent: re-applying any prefix,
@@ -221,7 +222,17 @@ def apply_cdc_batch(
     gate counts are known driver-side first). Delivery is at-least-once
     per batch with a per-batch-dir overwrite (same contract as the
     debezium DLQ): a crash between the export and the commit re-runs the
-    batch and rewrites the same directory; the TABLE stays exactly-once."""
+    batch and rewrites the same directory; the TABLE stays exactly-once.
+
+    ``suppress_keys``: purged-key suppression (the apply-side half of
+    ``LakeTable.purge_keys`` — right-to-be-forgotten erasure). A
+    one-column DataFrame of keys whose events must never land again: each
+    matching FRESH row is dropped before the merge with its LSN committed
+    as decided (same contract as expectation drops), so neither replay
+    from a wiped checkpoint nor a late event resurrects an erased key.
+    Counted in lineage["rows_suppressed"] via the existing gate pass. The
+    ledger is broadcast (takedown-scale, tiny next to the batch); batches
+    on never-purged tables pass None and pay nothing."""
     t0 = time.monotonic()
     phase_ms: dict[str, int] = {}  # per-phase wall breakdown (lineage)
 
@@ -250,7 +261,7 @@ def apply_cdc_batch(
         return _apply_cdc_batch_inner(
             table, batch, batch_id, epoch_registry, extract_text, write_mode,
             coalesce_bucket_files, expectations or {}, on_violation,
-            violations_dir, t0, phase_ms, _mark,
+            violations_dir, suppress_keys, t0, phase_ms, _mark,
         )
 
 
@@ -265,6 +276,7 @@ def _apply_cdc_batch_inner(
     expectations: "dict[str, str]",
     on_violation: str,
     violations_dir: "str | None",
+    suppress_keys: "DataFrame | None",
     t0: float,
     phase_ms: dict,
     _mark,
@@ -284,6 +296,25 @@ def _apply_cdc_batch_inner(
     # DataFrame) are contractually single chunks anyway.
     applied = load_applied_ranges(table.properties)
     t_phase = time.monotonic()
+    supp_pred = None
+    if suppress_keys is not None:
+        # purged-key suppression (LakeTable.purge_keys ledger): mark each
+        # event whose key is on the ledger via one BROADCAST left join —
+        # the probe side's row identity (and input_file_name) survives a
+        # broadcast hash join, so the per-delivery-unit gate below is
+        # unaffected (pinned in tests/test_purge.py). Suppressed rows are
+        # DECIDED like expectation drops: rejected before the merge with
+        # their LSNs committed as applied, so neither replay nor a late
+        # event resurrects an erased key.
+        if "_suppressed" in batch.columns:
+            raise ValueError("batch already carries a _suppressed column")
+        marked = F.broadcast(
+            suppress_keys.select(table.key_col).withColumn(
+                "_suppressed", F.lit(True)
+            )
+        )
+        batch = batch.join(marked, on=table.key_col, how="left")
+        supp_pred = F.coalesce(F.col("_suppressed"), F.lit(False))
     is_stale = covered_expr(F.col("change_lsn"), applied)
     # expectation violations ride the SAME gate pass as extra aggregate
     # expressions — zero additional jobs; counted over FRESH rows only so a
@@ -305,6 +336,19 @@ def _apply_cdc_batch_inner(
             any_viol = any_viol | v
         exp_aggs.append(
             F.sum((any_viol & ~is_stale).cast("long")).alias("_exp_any")
+        )
+    if supp_pred is not None:
+        exp_aggs.append(
+            F.sum((supp_pred & ~is_stale).cast("long")).alias("_supp")
+        )
+        # distinct DECIDED rows (suppressed OR expectation-violating) —
+        # the per-bucket applied counts subtract this union, never both
+        # terms (a row can be suppressed AND violate an expectation)
+        any_drop = supp_pred
+        for v in exp_viol:
+            any_drop = any_drop | v
+        exp_aggs.append(
+            F.sum((any_drop & ~is_stale).cast("long")).alias("_drop_any")
         )
     per_group = (
         batch.groupBy(
@@ -347,9 +391,13 @@ def _apply_cdc_batch_inner(
                 ]
             )
         )
+        quarantined = batch.filter(~is_stale)
+        if supp_pred is not None:
+            # a purged key's content must never re-materialize — not even
+            # in the quarantine export (it IS erased data)
+            quarantined = quarantined.filter(~supp_pred).drop("_suppressed")
         (
-            batch.filter(~is_stale)
-            .withColumn("_violated", flags)
+            quarantined.withColumn("_violated", flags)
             .filter(F.size("_violated") > 0)
             .write.mode("overwrite")
             .parquet(os.path.join(violations_dir, f"batch={batch_id}"))
@@ -394,7 +442,11 @@ def _apply_cdc_batch_inner(
     bucket_counts: dict[int, int] = {}
     for r in per_group:
         fresh_n = int(r["n"]) - int(r["n_stale"] or 0)
-        if exp_names:
+        if supp_pred is not None:
+            # decided rows (suppressed ∪ expectation-violating) are not
+            # applied — subtract the union once, never both terms
+            fresh_n -= int(r["_drop_any"] or 0)
+        elif exp_names:
             # rejected rows are decided, not applied — keep the per-bucket
             # applied counts (and the touched set they imply) honest
             fresh_n -= int(r["_exp_any"] or 0)
@@ -415,6 +467,10 @@ def _apply_cdc_batch_inner(
         )
         if lineage_extra_violations:
             lineage_base["violations_path"] = lineage_extra_violations
+    if supp_pred is not None:
+        lineage_base["rows_suppressed"] = int(
+            sum(r["_supp"] or 0 for r in per_group)
+        )
     if stats.n == 0 or not batch_intervals:
         return {
             **lineage_base,
@@ -442,6 +498,9 @@ def _apply_cdc_batch_inner(
     # commit as applied — a rejection is a decision, not pending work)
     for v in exp_viol:
         fresh = fresh.filter(~v)
+    if supp_pred is not None:
+        # purged keys: same decision contract as expectation drops
+        fresh = fresh.filter(~supp_pred).drop("_suppressed")
 
     # The intervals this commit publishes: applied so far + one interval per
     # fresh delivery unit in this batch. Data + intervals commit in ONE

@@ -200,6 +200,59 @@ class CdcPipeline:
 
     # ------------------------------------------------------------ normalize
 
+    def _suppression_keys(self, table: LakeTable) -> "DataFrame | None":
+        """The table's purged-key ledger, or None when it has never been
+        purged. Hot-path cost for never-purged tables is ONE driver-side
+        property check; purged tables re-read the tiny ledger only when
+        ``purge.epoch`` changes (cached per epoch)."""
+        from migration_pair_spark.lakehouse.table import PURGE_EPOCH_PROP
+
+        epoch = table.properties.get(PURGE_EPOCH_PROP)
+        if epoch is None:
+            return None
+        cache = getattr(self, "_supp_cache", None)
+        if cache is not None and cache[0] == epoch:
+            return cache[1]
+        ledger = table.suppressed_keys()
+        self._supp_cache = (epoch, ledger)
+        return ledger
+
+    def purge(
+        self,
+        spark: SparkSession,
+        keys: list,
+        erase_history: bool = False,
+        keep_last: int = 1,
+    ) -> dict:
+        """Right-to-be-forgotten erasure of ``keys`` (takedowns, robots
+        revocations): canonicalizes the keys exactly like ingest does when
+        ``canonicalize_key`` is set (a purge of any crawl variant erases
+        the canonical page), physically rewrites the files holding their
+        rows (LakeTable.purge_keys — zone-map/bloom file-pruned), and
+        records them on the suppression ledger so future change events for
+        them are dropped at the apply gate with their LSNs committed.
+
+        ``erase_history=True`` completes erasure across retained history:
+        expire all but ``keep_last`` snapshots and vacuum unreferenced
+        files immediately. Leave it False to schedule retention separately
+        (verify with LakeTable.verify_purged)."""
+        table = self.ensure_table(spark)
+        kdf = table._purge_keys_df(keys)
+        if self.canonicalize_key:
+            from migration_pair_spark.functions.webtext import canonical_url
+
+            k = F.col(self.key_col)
+            kdf = kdf.withColumn(
+                self.key_col, F.coalesce(canonical_url(k), k)
+            )
+        version = table.purge_keys(kdf)
+        self._supp_cache = None  # next apply reloads the grown ledger
+        out = {"snapshot_id": version, "lineage": table.lineage}
+        if erase_history:
+            out["expired_versions"] = table.expire_snapshots(keep_last=keep_last)
+            out["vacuumed_files"] = len(table.vacuum(older_than_s=0.0))
+        return out
+
     def normalize(self, batch: DataFrame) -> DataFrame:
         """Map mixed-epoch events onto the newest naming (pre-rename events
         flow into the renamed column, per FIXTURES.md F3 oracle)."""
@@ -241,6 +294,7 @@ class CdcPipeline:
 
             ensure_subscription_base(self.changelog_dir, table.version)
         events = self.normalize(events)
+        suppress = self._suppression_keys(table)
         limit = self.max_events_per_batch
         if limit and limit > 0:
             bounds = events.agg(
@@ -278,6 +332,7 @@ class CdcPipeline:
                             expectations=self.expectations,
                             on_violation=self.on_violation,
                             violations_dir=self.violations_dir,
+                            suppress_keys=suppress,
                         )
                         self._maybe_changelog(table, sub)
                         lineages.append(sub)
@@ -321,6 +376,7 @@ class CdcPipeline:
             expectations=self.expectations,
             on_violation=self.on_violation,
             violations_dir=self.violations_dir,
+            suppress_keys=suppress,
         )
         self._maybe_changelog(table, lineage)
         self._maybe_auto_compact(table, lineage)

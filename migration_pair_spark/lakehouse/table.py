@@ -46,6 +46,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SYSTEM_COLS = ["_lsn", "_deleted"]
+#: bumped by every purge_keys commit; its PRESENCE is the zero-cost signal
+#: the CDC apply path uses to know a suppression ledger exists
+PURGE_EPOCH_PROP = "purge.epoch"
 _SYSTEM_FIELDS = [
     T.StructField("_lsn", T.LongType(), True),
     T.StructField("_deleted", T.BooleanType(), True),
@@ -1407,6 +1410,197 @@ class LakeTable:
                 except OSError:
                     pass
         return deleted
+
+    # ---------------------------------------------------------------- purge
+
+    def _purge_keys_df(self, keys) -> DataFrame:
+        """Normalize a purge key set (list or one-column DataFrame) into a
+        distinct one-column DataFrame named/typed like the key column."""
+        key = self.key_col
+        ktype = self.schema[key].dataType
+        if isinstance(keys, DataFrame):
+            src = F.col(keys.columns[0])
+            kdf = keys.select(src.cast(ktype).alias(key))
+        else:
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in keys], T.StructType([T.StructField(key, ktype)])
+            )
+        return kdf.where(F.col(key).isNotNull()).distinct()
+
+    def _append_suppression(self, keys_df: DataFrame) -> None:
+        """Append keys to the table's suppression ledger (parquet files
+        under ``<root>/suppression/``; duplicates are harmless — readers
+        distinct). Written BEFORE the purge rewrite commits so a crash
+        between the two leaves suppression ACTIVE-pending (rows remain but
+        a purge re-run heals) rather than rows-gone-but-resurrectable."""
+        import shutil
+
+        d = os.path.join(self.path, "suppression")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-suppress-{uuid.uuid4().hex[:8]}")
+        keys_df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        try:
+            for fp in sorted(glob.glob(os.path.join(tmp, "*.parquet"))):
+                os.replace(
+                    fp, os.path.join(d, f"purge-{uuid.uuid4().hex[:12]}.parquet")
+                )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def suppressed_keys(self) -> "DataFrame | None":
+        """Distinct keys in the suppression ledger, or None when the table
+        has never been purged. The existence probe is one driver-side
+        glob — tables that never purge pay nothing on the CDC hot path."""
+        files = glob.glob(os.path.join(self.path, "suppression", "*.parquet"))
+        if not files:
+            return None
+        return (
+            self.spark.read.parquet(*files).select(self.key_col).distinct()
+        )
+
+    def _purge_candidates(
+        self, entries: list[dict], values: list
+    ) -> tuple[list[dict], list[dict]]:
+        """Split file entries into (may contain ANY of ``values``, provably
+        clean) for the key column — zone maps first, then parquet blooms,
+        kept on any doubt. Each file is probed against at most one value
+        once it's known hit (hits move out of the probe set)."""
+        remaining = list(entries)
+        hits: list[dict] = []
+        for v in values:
+            if not remaining:
+                break
+            kz, _ = self.prune_entries(remaining, self.key_col, lo=v, hi=v)
+            if self.key_col in (self.manifest.get("bloom_cols") or []):
+                kz, _ = self.bloom_prune_entries(kz, self.key_col, v)
+            hit_paths = {e["path"] for e in kz}
+            if hit_paths:
+                hits.extend(e for e in remaining if e["path"] in hit_paths)
+                remaining = [e for e in remaining if e["path"] not in hit_paths]
+        return hits, remaining
+
+    def purge_keys(self, keys, file_prune: bool = True) -> int:
+        """Right-to-be-forgotten erasure (takedowns, robots revocations):
+        physically REMOVE every stored row — tombstones and merge-on-read
+        delta versions included — whose key is in ``keys`` from the current
+        snapshot, and record the keys in the suppression ledger so future
+        change events for them are dropped at the apply gate (the CDC layer
+        reads :meth:`suppressed_keys`; see cdc/apply.py). One atomic
+        commit: rewritten buckets + the bumped ``purge.epoch`` property.
+
+        Scale shape: keys hash to buckets, and within each touched bucket
+        only the files whose zone maps / parquet blooms cannot rule the key
+        out are rewritten (``file_prune=True``) — on a bloom-indexed key a
+        purge of k URLs rewrites ~k files out of a 100-TB table, never the
+        buckets wholesale. The key list is collected driver-side to drive
+        file pruning (bounded: purge sets are takedown-scale); for purge
+        sets too large to collect pass ``file_prune=False`` — keys stay
+        distributed and every file of every bucket rewrites via one
+        anti-join.
+
+        Erasure across RETAINED HISTORY is completed by retention, exactly
+        as in Iceberg/Delta: older snapshots still reference the pre-purge
+        files until ``expire_snapshots`` + ``vacuum`` drop them —
+        :meth:`verify_purged` reports which retained versions still hold
+        matching rows. Key RENAME evolution after rows were written is not
+        supported under purge (keys are located by current name).
+
+        Returns the committed version."""
+        kdf = self._purge_keys_df(keys)
+        self._append_suppression(kdf)
+
+        m = self._next_manifest()
+        if file_prune:
+            rows = kdf.withColumn("_b", self.bucket_expr()).collect()
+            by_bucket: dict[int, list] = {}
+            for r in rows:
+                by_bucket.setdefault(int(r["_b"]), []).append(r[self.key_col])
+            n_keys = len(rows)
+        else:
+            brows = (
+                kdf.select(self.bucket_expr().alias("_b"))
+                .distinct()
+                .collect()
+            )
+            by_bucket = {int(r["_b"]): [] for r in brows}  # [] = probe all
+            n_keys = kdf.count()
+
+        candidates: list[dict] = []
+        survivors: dict[int, list[dict]] = {}
+        for b, vals in sorted(by_bucket.items()):
+            entries = m["buckets"].get(str(b), [])
+            if not entries:
+                continue
+            if file_prune:
+                hit, clean = self._purge_candidates(entries, vals)
+            else:
+                hit, clean = list(entries), []
+            if hit:
+                candidates.extend(hit)
+                survivors[b] = clean
+
+        lineage = {
+            "purge": True,
+            "n_keys": int(n_keys),
+            "buckets": sorted(survivors),
+            "files_rewritten": len(candidates),
+        }
+        m["properties"][PURGE_EPOCH_PROP] = str(
+            int(m["properties"].get(PURGE_EPOCH_PROP, "0")) + 1
+        )
+        m["lineage"] = lineage
+        if not candidates:
+            # nothing stored matches — metadata-only commit still bumps
+            # purge.epoch so apply-side suppression activates
+            self._write_manifest(m)
+            self._manifest = m
+            return m["version"]
+
+        txid = f"tx-{m['version']:08d}-{uuid.uuid4().hex[:8]}"
+        tx_dir = os.path.join(self.path, "data", txid)
+        kept = (
+            self._read_files(candidates)
+            .join(F.broadcast(kdf), on=self.key_col, how="left_anti")
+            .withColumn("_bucket", self.bucket_expr())
+        )
+        self._table_write(kept, tx_dir)
+        new_files = self._collect_written_files(tx_dir, m["schema_version"])
+        stray = set(new_files) - set(survivors)
+        if stray:
+            raise ValueError(
+                f"purge_keys: rows landed in buckets {sorted(stray)} outside "
+                f"the touched set {sorted(survivors)} — refusing to commit"
+            )
+        for b, clean in survivors.items():
+            m["buckets"][str(b)] = clean + new_files.get(b, [])
+        self._write_manifest(m)
+        self._manifest = m
+        return m["version"]
+
+    def verify_purged(self, keys) -> dict[int, int]:
+        """Erasure audit: for each RETAINED snapshot version, the number of
+        stored rows (tombstones included) whose key is in ``keys``. Empty
+        dict == erasure is complete across retained history. Pre-purge
+        versions holding rows are EXPECTED until ``expire_snapshots`` +
+        ``vacuum`` run — this is the check that tells you when to run them
+        (and that they worked). File-pruned per version via zone maps and
+        blooms, so post-retention audits read ~no data."""
+        kdf = self._purge_keys_df(keys)
+        values = [r[self.key_col] for r in kdf.collect()]
+        out: dict[int, int] = {}
+        for v in self.snapshot_versions():
+            snap = self.at_version(v)
+            entries = [
+                e for files in snap.manifest["buckets"].values() for e in files
+            ]
+            cand, _ = snap._purge_candidates(entries, values)
+            if not cand:
+                continue
+            df = snap._read_files(cand)
+            n = df.join(F.broadcast(kdf), on=self.key_col, how="left_semi").count()
+            if n:
+                out[v] = int(n)
+        return out
 
     def lookup(self, key_value) -> DataFrame:
         """Point read: the current row(s) for one key, touching ONLY the

@@ -358,6 +358,7 @@ def export_changelog_debezium(
     v_from: int,
     v_to: "int | None" = None,
     payload_schema: "T.StructType | None" = None,
+    mask_suppressed: bool = True,
 ) -> "str | None":
     """Materialize the v_from -> v_to snapshot diff as ONE Debezium JSONL
     envelope file ``out_dir/span-<vfrom>-<vto>.jsonl`` — the engine as a
@@ -376,7 +377,21 @@ def export_changelog_debezium(
 
     ``payload_schema`` defaults to the table's CURRENT schema; pass the
     receiver's wire payload schema (e.g. runner.pages_wire_payload_schema)
-    when mirroring into a standard pages pipeline."""
+    when mirroring into a standard pages pipeline.
+
+    ``mask_suppressed`` (default on): when the table carries a purge
+    ledger (LakeTable.purge_keys — right-to-be-forgotten erasure), every
+    envelope for a purged key ships with its payload images NULLED in
+    ANY exported span, past or future — erasure must propagate, and the
+    export is the engine's external surface. The KEY itself stays (a
+    replica needs it to delete its copy — the standard suppression-list
+    trade-off); the envelope structure and synthesized LSNs are
+    unchanged, so span delivery contracts hold and a replica ingesting
+    the spans converges to a state with the purged keys ABSENT (the purge
+    commit's own span carries their deletes). Internal snapshot-diff
+    feeds (changelog_dir, IVM) stay unmasked: IVM must retract true
+    before-images, and those feeds are part of the engine's retained
+    state — erase them with retention on the feed directory."""
     import glob as _glob
     import os
     import shutil
@@ -394,6 +409,22 @@ def export_changelog_debezium(
     epoch_raw = table.manifest_at(v_to)["properties"].get(EPOCH_PROP)
     epoch = int(epoch_raw) if epoch_raw is not None else None
     feed = snapshot_diff(table, v_from, v_to)
+    if mask_suppressed:
+        ledger = table.suppressed_keys() if hasattr(table, "suppressed_keys") else None
+        if ledger is not None:
+            key = table.key_col
+            marked = F.broadcast(
+                ledger.select(key).withColumn("_masked", F.lit(True))
+            )
+            feed = feed.join(marked, on=key, how="left")
+            for c in feed.columns:
+                if c in (key, "change_type", "_masked"):
+                    continue
+                feed = feed.withColumn(
+                    c,
+                    F.when(F.col("_masked"), F.lit(None)).otherwise(F.col(c)),
+                )
+            feed = feed.drop("_masked")
     df = changelog_to_debezium(
         feed, table.key_col, payload_schema, lsn_base=v_to << 24, epoch=epoch
     )
