@@ -32,15 +32,15 @@ import sys
 
 
 def _parse_expectations(
-    p: argparse.ArgumentParser, pairs: list[str]
+    p: argparse.ArgumentParser, pairs: list[str], opt: str = "--expect"
 ) -> dict[str, str]:
-    """--expect NAME=SQL values as a dict, failing as an ARGUMENT error
+    """NAME=VALUE option values as a dict, failing as an ARGUMENT error
     naming the offending value when '=' is missing."""
     out: dict[str, str] = {}
     for e in pairs:
         name, sep, sql = e.partition("=")
         if not sep or not name:
-            p.error(f"--expect must be NAME=SQL, got {e!r}")
+            p.error(f"{opt} must be NAME=VALUE, got {e!r}")
         out[name] = sql
     return out
 
@@ -134,6 +134,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="vacuum safety horizon: unreferenced files younger "
                          "than this are kept (concurrent uncommitted writes "
                          "look like orphans)")
+
+    vw = sub.add_parser("view-refresh")
+    vw.add_argument("--table-path", required=True, help="base table")
+    vw.add_argument("--view-path", required=True,
+                    help="view table (created on first run)")
+    vw.add_argument("--dim", action="append", default=[],
+                    help="stored base column to group by (repeatable)")
+    vw.add_argument("--derived-dim", action="append", default=[],
+                    help="NAME=SQL group expression over base columns, "
+                         "e.g. domain=parse_url(url, 'HOST')")
+    vw.add_argument("--measure", action="append", default=[],
+                    help="NAME=SQL summed per group (a row count 'n' is "
+                         "always maintained)")
+    vw.add_argument("--measure-type", action="append", default=[],
+                    help="NAME=TYPE for fractional measures (default long)")
 
     pg = sub.add_parser("purge")
     pg.add_argument("--table-path", required=True)
@@ -475,6 +490,23 @@ def main(argv: list[str] | None = None) -> int:
             "deleted_files": len(deleted),
             "retained_snapshots": table.snapshot_versions(),
         }))
+    elif args.cmd == "view-refresh":
+        from migration_pair_spark.cdc.views import MaterializedView
+        from migration_pair_spark.lakehouse.table import LakeTable
+
+        base = LakeTable.load(spark, args.table_path)
+        view = MaterializedView(
+            spark,
+            args.view_path,
+            base,
+            dims=tuple(args.dim),
+            derived_dims=_parse_expectations(p, args.derived_dim, "--derived-dim"),
+            measures=_parse_expectations(p, args.measure, "--measure"),
+            measure_types=_parse_expectations(p, args.measure_type, "--measure-type"),
+        )
+        out = view.refresh()
+        out["rows"] = view.view.read().count()
+        print(json.dumps(out))
     elif args.cmd == "purge":
         from pyspark.sql import functions as F
 
