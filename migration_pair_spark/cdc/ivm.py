@@ -66,6 +66,14 @@ def apply_delta(
     carry a measure named 'n' counting rows for the drop rule; callers that
     do not track 'n' keep zero-rows).
 
+    The drop rule requires each folded delta to come from a CONSISTENT
+    changelog batch (a snapshot_diff span, or a union of whole spans):
+    there, n == 0 implies every contributing row was retracted, so all
+    other sums are 0 too and dropping the group is exact. Folding an
+    arbitrary FRAGMENT of a feed can strand a group at n == 0 with
+    nonzero sums, which this drop would silently lose (pinned by the
+    ivm_fold_rollup catalog query, which folds temporal prefixes).
+
     Scale shape: one hash join on the group keys — both sides are
     aggregate-sized (groups, not rows); the state never rescans the table.
     """

@@ -122,6 +122,70 @@ def cdc_final_state(spark, sf_dir):
 
 
 @q(
+    "ivm_fold_rollup",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    GROUP BY event_type
+    """,
+    "incremental view maintenance fold: a per-user update history derived "
+    "from events folds through TWO sequential apply_delta spans to exactly "
+    "the direct aggregate of the LWW final state (cdc/ivm.py — the engine "
+    "that keeps maintained materialized views current, cdc/views.py)",
+)
+def ivm_fold_rollup(spark, sf_dir):
+    from migration_pair_spark.cdc.ivm import (
+        aggregate_delta,
+        apply_delta,
+        empty_state,
+    )
+
+    # integer cents: the fold telescopes +v/-v per update, which must sum
+    # EXACTLY — float accumulation would drift from the direct aggregate
+    ev = t(spark, sf_dir, "events").withColumn(
+        "vc", F.round(F.col("value") * 100).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cur = ev.select(
+        "user_id", "event_id", "event_type", "vc",
+        F.lag("event_type").over(w).alias("_pt"),
+        F.lag("vc").over(w).alias("_pv"),
+        F.count(F.lit(1)).over(w).alias("_rn"),
+    )
+    # each event is an upsert of its user's row: first sighting inserts,
+    # later ones retract the previous image and assert the new one — the
+    # exact changelog convention of cdc/changelog.snapshot_diff
+    ins = cur.filter(F.col("_rn") == 1).select(
+        F.lit("insert").alias("change_type"), "_rn", "event_type", "vc")
+    ub = cur.filter(F.col("_rn") > 1).select(
+        F.lit("update_before").alias("change_type"), "_rn",
+        F.col("_pt").alias("event_type"), F.col("_pv").alias("vc"))
+    ua = cur.filter(F.col("_rn") > 1).select(
+        F.lit("update_after").alias("change_type"), "_rn",
+        "event_type", "vc")
+    feed = ins.unionByName(ub).unionByName(ua)
+    # two TEMPORAL spans (each user's first two steps, then the rest):
+    # each span is a consistent changelog batch — the intermediate state
+    # is a real snapshot aggregate, which apply_delta's vanished-group
+    # rule (n==0 drops the row) requires. An arbitrary row split would
+    # strand a group at n==0 with nonzero sums and lose it mid-fold —
+    # exactly why views fold whole snapshot_diff spans, never fragments.
+    state = empty_state(spark, "event_type string", ("n", "value_cents"))
+    for span_pred in (F.col("_rn") <= 2, F.col("_rn") > 2):
+        delta = aggregate_delta(
+            feed.filter(span_pred),
+            ("event_type",),
+            {"n": F.lit(1), "value_cents": F.col("vc")},
+        )
+        state = apply_delta(state, delta, ("event_type",), ("n", "value_cents"))
+    return state.select("event_type", "n", "value_cents")
+
+
+@q(
     "op_route_counts",
     """
     SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
