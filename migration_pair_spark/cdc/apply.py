@@ -52,7 +52,7 @@ logger = logging.getLogger("migration_pair_spark.cdc")
 
 from migration_pair_spark.cdc.lww import lww_dedup_agg
 from migration_pair_spark.functions.extract import with_extracted_text
-from migration_pair_spark.lakehouse.table import LakeTable
+from migration_pair_spark.lakehouse.table import CommitConflictError, LakeTable
 
 WATERMARK_PROP = "engine.max_lsn"
 RANGES_PROP = "engine.applied_lsn_ranges"
@@ -172,6 +172,7 @@ def apply_cdc_batch(
     on_violation: str = "drop",
     violations_dir: "str | None" = None,
     suppress_keys: "DataFrame | None" = None,
+    conflict_retries: int = 3,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns the
     lineage record (FIXTURES.md F4). Idempotent: re-applying any prefix,
@@ -232,7 +233,16 @@ def apply_cdc_batch(
     from a wiped checkpoint nor a late event resurrects an erased key.
     Counted in lineage["rows_suppressed"] via the existing gate pass. The
     ledger is broadcast (takedown-scale, tiny next to the batch); batches
-    on never-purged tables pass None and pay nothing."""
+    on never-purged tables pass None and pay nothing.
+
+    ``conflict_retries``: a rival writer (a maintenance CLI — compact,
+    purge, rescale — racing this stream) can win the optimistic commit;
+    the batch then refreshes and re-applies WHOLE, which is safe by the
+    same argument as crash replay: the gate re-reads the applied
+    intervals from the rival's snapshot, so anything it already covers is
+    skipped and the merge recomputes against the new bucket content. The
+    losing attempt's files are invisible orphans. Exhausting the retries
+    re-raises (a stream that loses every commit should stop loudly)."""
     t0 = time.monotonic()
     phase_ms: dict[str, int] = {}  # per-phase wall breakdown (lineage)
 
@@ -257,12 +267,26 @@ def apply_cdc_batch(
             f"on_violation must be 'drop' or 'fail', got {on_violation!r}"
         )
     spark = batch.sparkSession
-    with _aqe_disabled(spark):
-        return _apply_cdc_batch_inner(
-            table, batch, batch_id, epoch_registry, extract_text, write_mode,
-            coalesce_bucket_files, expectations or {}, on_violation,
-            violations_dir, suppress_keys, t0, phase_ms, _mark,
-        )
+    attempt = 0
+    while True:
+        try:
+            with _aqe_disabled(spark):
+                return _apply_cdc_batch_inner(
+                    table, batch, batch_id, epoch_registry, extract_text,
+                    write_mode, coalesce_bucket_files, expectations or {},
+                    on_violation, violations_dir, suppress_keys, t0,
+                    phase_ms, _mark,
+                )
+        except CommitConflictError as e:
+            attempt += 1
+            if attempt > conflict_retries:
+                raise
+            logger.warning(
+                "batch %s lost commit to a rival writer (%s) — refreshing "
+                "and re-applying (attempt %d/%d)",
+                batch_id, e, attempt, conflict_retries,
+            )
+            table.refresh()
 
 
 def _apply_cdc_batch_inner(

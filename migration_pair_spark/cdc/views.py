@@ -61,7 +61,7 @@ from pyspark.sql import types as T
 
 from migration_pair_spark.cdc.changelog import snapshot_diff
 from migration_pair_spark.cdc.ivm import aggregate_delta, apply_delta
-from migration_pair_spark.lakehouse.table import LakeTable
+from migration_pair_spark.lakehouse.table import CommitConflictError, LakeTable
 
 #: view-table property: the base-table version the committed state reflects
 BASE_VERSION_PROP = "view.base_version"
@@ -233,10 +233,23 @@ class MaterializedView:
 
     # --------------------------------------------------------------- refresh
 
-    def refresh(self) -> dict:
+    def refresh(self, conflict_retries: int = 3) -> dict:
         """Advance the view to the base table's current version. One diff
         span covers any number of base commits. Returns a lineage-style
-        record; no-op (and no commit) when already current."""
+        record; no-op (and no commit) when already current. A rival
+        refresher winning the optimistic commit is absorbed: refresh
+        re-reads the reflected version — if the rival covered our span
+        this becomes a no-op, otherwise it folds the remainder."""
+        attempt = 0
+        while True:
+            try:
+                return self._refresh_once()
+            except CommitConflictError:
+                attempt += 1
+                if attempt > conflict_retries:
+                    raise
+
+    def _refresh_once(self) -> dict:
         self.base.refresh()
         self.view.refresh()
         reflected = self.reflected_version

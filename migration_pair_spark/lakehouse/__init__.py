@@ -25,6 +25,7 @@ real Iceberg catalog is a config switch:
 from migration_pair_spark.lakehouse.interface import UpsertTarget
 from migration_pair_spark.lakehouse.table import (
     AddColumn,
+    CommitConflictError,
     AddStructField,
     DropColumn,
     LakeTable,
@@ -36,6 +37,7 @@ from migration_pair_spark.lakehouse.table import (
 
 __all__ = [
     "LakeTable",
+    "CommitConflictError",
     "UpsertTarget",
     "AddColumn",
     "RenameColumn",

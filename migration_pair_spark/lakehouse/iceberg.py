@@ -343,6 +343,7 @@ class IcebergTable:
         bucket_ids: "list[int] | None" = None,
         sort_by: "list[str] | None" = None,
         max_rows_per_file: "int | None" = None,
+        conflict_retries: int = 3,
     ) -> int:
         """Engine-level compaction: LWW-resolve the chosen buckets and
         overwrite their partitions (clears their MOR state). A pure layout
@@ -352,7 +353,10 @@ class IcebergTable:
         ``rewrite_data_files(strategy => 'sort', sort_order => ...)`` and
         ``max_rows_per_file`` its target-file-size option; this adapter
         expresses both through the writer (sortWithinPartitions +
-        maxRecordsPerFile), same semantics."""
+        maxRecordsPerFile), same semantics. ``conflict_retries`` maps to
+        Iceberg's native optimistic-retry loop (``commit.retry.num-retries``
+        table property; CommitFailedException re-plans the rewrite) — the
+        engine table implements the same rebase in LakeTable.compact."""
         buckets = (
             bucket_ids if bucket_ids is not None else sorted(self.files_per_bucket())
         )

@@ -49,6 +49,16 @@ SYSTEM_COLS = ["_lsn", "_deleted"]
 #: bumped by every purge_keys commit; its PRESENCE is the zero-cost signal
 #: the CDC apply path uses to know a suppression ledger exists
 PURGE_EPOCH_PROP = "purge.epoch"
+
+
+class CommitConflictError(RuntimeError):
+    """Optimistic-concurrency conflict: another writer published this
+    snapshot version first (Iceberg CommitFailedException analog). The
+    transaction's data files are orphans (invisible; vacuum collects
+    them) — the loser refreshes and retries its WHOLE operation against
+    the new table state. Recomputable operations (CDC apply, compact,
+    purge, view refresh) do that automatically; see their
+    ``conflict_retries`` parameters."""
 _SYSTEM_FIELDS = [
     T.StructField("_lsn", T.LongType(), True),
     T.StructField("_deleted", T.BooleanType(), True),
@@ -401,7 +411,7 @@ class LakeTable:
             finally:
                 os.close(dfd)
         except FileExistsError:
-            raise RuntimeError(
+            raise CommitConflictError(
                 f"commit conflict: snapshot v{manifest['version']} already exists"
             ) from None
         finally:
@@ -1142,6 +1152,7 @@ class LakeTable:
         bucket_ids: list[int] | None = None,
         sort_by: list[str] | None = None,
         max_rows_per_file: int | None = None,
+        conflict_retries: int = 3,
     ) -> int:
         """Maintenance: fold each chosen bucket into one file per bucket —
         LWW-resolving merge-on-read deltas (one surviving row per key) and
@@ -1159,7 +1170,30 @@ class LakeTable:
         table keeps time-window scans O(window), not O(table). Row order
         inside a snapshot is semantically free (reads LWW-resolve or are
         already one-row-per-key), so clustering never changes results
-        (pinned in tests/test_sorted_compaction.py)."""
+        (pinned in tests/test_sorted_compaction.py).
+
+        CONCURRENCY: compaction racing a live writer (a maintenance CLI
+        against a running cdc-run) loses the optimistic commit and, being
+        a pure content-preserving fold, simply refreshes and recomputes —
+        up to ``conflict_retries`` times (Iceberg's rewrite_data_files
+        retry analog). The losing attempt's files are invisible orphans
+        (vacuum collects them). tests/test_conflicts.py."""
+        attempt = 0
+        while True:
+            try:
+                return self._compact_once(bucket_ids, sort_by, max_rows_per_file)
+            except CommitConflictError:
+                attempt += 1
+                if attempt > conflict_retries:
+                    raise
+                self.refresh()
+
+    def _compact_once(
+        self,
+        bucket_ids: list[int] | None,
+        sort_by: list[str] | None,
+        max_rows_per_file: int | None,
+    ) -> int:
         buckets = bucket_ids if bucket_ids is not None else [
             int(b) for b, files in self.manifest["buckets"].items() if files
         ]
@@ -1479,7 +1513,9 @@ class LakeTable:
                 remaining = [e for e in remaining if e["path"] not in hit_paths]
         return hits, remaining
 
-    def purge_keys(self, keys, file_prune: bool = True) -> int:
+    def purge_keys(
+        self, keys, file_prune: bool = True, conflict_retries: int = 3
+    ) -> int:
         """Right-to-be-forgotten erasure (takedowns, robots revocations):
         physically REMOVE every stored row — tombstones and merge-on-read
         delta versions included — whose key is in ``keys`` from the current
@@ -1505,10 +1541,26 @@ class LakeTable:
         matching rows. Key RENAME evolution after rows were written is not
         supported under purge (keys are located by current name).
 
+        CONCURRENCY: a purge racing a live writer loses the optimistic
+        commit, refreshes and recomputes (the anti-join rewrite is
+        idempotent against any newer state; the ledger append happened
+        once, before the first attempt) — up to ``conflict_retries``
+        times. tests/test_conflicts.py.
+
         Returns the committed version."""
         kdf = self._purge_keys_df(keys)
         self._append_suppression(kdf)
+        attempt = 0
+        while True:
+            try:
+                return self._purge_once(kdf, file_prune)
+            except CommitConflictError:
+                attempt += 1
+                if attempt > conflict_retries:
+                    raise
+                self.refresh()
 
+    def _purge_once(self, kdf: DataFrame, file_prune: bool) -> int:
         m = self._next_manifest()
         if file_prune:
             rows = kdf.withColumn("_b", self.bucket_expr()).collect()
