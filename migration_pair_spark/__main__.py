@@ -169,6 +169,10 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--verify", action="store_true",
                     help="audit afterwards: rows still matching per "
                          "retained snapshot (empty == erasure complete)")
+    pg.add_argument("--chunk-index", default=None,
+                    help="extend the erasure into a CDC-swept chunk-dedup "
+                         "corpus at this root (IncrementalChunkIndex."
+                         "purge_source by the same keys)")
 
     cl = sub.add_parser("changelog")
     cl.add_argument("--table-path", required=True)
@@ -527,6 +531,14 @@ def main(argv: list[str] | None = None) -> int:
             kdf = kdf.withColumn(table.key_col, F.coalesce(canonical_url(k), k))
         version = table.purge_keys(kdf)
         out = {"snapshot_id": version, "lineage": table.lineage}
+        if args.chunk_index:
+            from migration_pair_spark.operators.incremental import (
+                IncrementalChunkIndex,
+            )
+
+            ix = IncrementalChunkIndex(spark, args.chunk_index)
+            out["chunk_corpus_version"] = ix.purge_source(kdf)
+            out["chunk_corpus_lineage"] = ix.corpus.lineage
         if args.erase_history:
             out["expired_versions"] = table.expire_snapshots(
                 keep_last=args.keep_last

@@ -1450,16 +1450,7 @@ class LakeTable:
     def _purge_keys_df(self, keys) -> DataFrame:
         """Normalize a purge key set (list or one-column DataFrame) into a
         distinct one-column DataFrame named/typed like the key column."""
-        key = self.key_col
-        ktype = self.schema[key].dataType
-        if isinstance(keys, DataFrame):
-            src = F.col(keys.columns[0])
-            kdf = keys.select(src.cast(ktype).alias(key))
-        else:
-            kdf = self.spark.createDataFrame(
-                [(k,) for k in keys], T.StructType([T.StructField(key, ktype)])
-            )
-        return kdf.where(F.col(key).isNotNull()).distinct()
+        return self._values_df(self.key_col, keys)
 
     def _append_suppression(self, keys_df: DataFrame) -> None:
         """Append keys to the table's suppression ledger (parquet files
@@ -1493,20 +1484,22 @@ class LakeTable:
         )
 
     def _purge_candidates(
-        self, entries: list[dict], values: list
+        self, entries: list[dict], values: list, col: "str | None" = None
     ) -> tuple[list[dict], list[dict]]:
         """Split file entries into (may contain ANY of ``values``, provably
-        clean) for the key column — zone maps first, then parquet blooms,
-        kept on any doubt. Each file is probed against at most one value
-        once it's known hit (hits move out of the probe set)."""
+        clean) for ``col`` (default: the key column) — zone maps first,
+        then parquet blooms, kept on any doubt. Each file is probed
+        against at most one value once it's known hit (hits move out of
+        the probe set)."""
+        col = col or self.key_col
         remaining = list(entries)
         hits: list[dict] = []
         for v in values:
             if not remaining:
                 break
-            kz, _ = self.prune_entries(remaining, self.key_col, lo=v, hi=v)
-            if self.key_col in (self.manifest.get("bloom_cols") or []):
-                kz, _ = self.bloom_prune_entries(kz, self.key_col, v)
+            kz, _ = self.prune_entries(remaining, col, lo=v, hi=v)
+            if col in (self.manifest.get("bloom_cols") or []):
+                kz, _ = self.bloom_prune_entries(kz, col, v)
             hit_paths = {e["path"] for e in kz}
             if hit_paths:
                 hits.extend(e for e in remaining if e["path"] in hit_paths)
@@ -1553,22 +1546,65 @@ class LakeTable:
         attempt = 0
         while True:
             try:
-                return self._purge_once(kdf, file_prune)
+                return self._purge_once(kdf, self.key_col, file_prune)
             except CommitConflictError:
                 attempt += 1
                 if attempt > conflict_retries:
                     raise
                 self.refresh()
 
-    def _purge_once(self, kdf: DataFrame, file_prune: bool) -> int:
+    def purge_matching(
+        self,
+        col: str,
+        values,
+        file_prune: bool = True,
+        conflict_retries: int = 3,
+    ) -> int:
+        """Erasure by a NON-KEY column — the provenance variant of
+        :meth:`purge_keys` (e.g. a dedup corpus whose rows carry the
+        source url in a ``src_key`` column). Values can't route to
+        buckets (they don't hash the key), so every bucket's files are
+        PROBED — still file-pruned by the column's zone maps / blooms
+        when recorded (create the table with ``bloom_filter_cols``
+        including the column), so the rewrite stays ~O(files containing
+        the values). No suppression ledger and no purge.epoch bump: those
+        gate FUTURE key-routed events, which a non-key purge does not
+        define. Same conflict-rebase loop as purge_keys."""
+        if col not in self.schema.names:
+            raise ValueError(f"purge_matching: unknown column {col!r}")
+        kdf = self._values_df(col, values)
+        attempt = 0
+        while True:
+            try:
+                return self._purge_once(kdf, col, file_prune)
+            except CommitConflictError:
+                attempt += 1
+                if attempt > conflict_retries:
+                    raise
+                self.refresh()
+
+    def _values_df(self, col: str, values) -> DataFrame:
+        ctype = self.schema[col].dataType
+        if isinstance(values, DataFrame):
+            src = F.col(values.columns[0])
+            vdf = values.select(src.cast(ctype).alias(col))
+        else:
+            vdf = self.spark.createDataFrame(
+                [(v,) for v in values], T.StructType([T.StructField(col, ctype)])
+            )
+        return vdf.where(F.col(col).isNotNull()).distinct()
+
+    def _purge_once(self, kdf: DataFrame, col: str, file_prune: bool) -> int:
+        by_key = col == self.key_col
         m = self._next_manifest()
-        if file_prune:
+        if by_key and file_prune:
+            # key values route to their buckets: probe only those
             rows = kdf.withColumn("_b", self.bucket_expr()).collect()
             by_bucket: dict[int, list] = {}
             for r in rows:
-                by_bucket.setdefault(int(r["_b"]), []).append(r[self.key_col])
+                by_bucket.setdefault(int(r["_b"]), []).append(r[col])
             n_keys = len(rows)
-        else:
+        elif by_key:
             brows = (
                 kdf.select(self.bucket_expr().alias("_b"))
                 .distinct()
@@ -1576,6 +1612,14 @@ class LakeTable:
             )
             by_bucket = {int(r["_b"]): [] for r in brows}  # [] = probe all
             n_keys = kdf.count()
+        else:
+            # non-key purge: values can land in ANY bucket; every bucket's
+            # files are probed (and zone/bloom-pruned per value)
+            vals = [r[col] for r in kdf.collect()] if file_prune else []
+            by_bucket = {
+                int(b): vals for b, fs in m["buckets"].items() if fs
+            }
+            n_keys = len(vals) if file_prune else kdf.count()
 
         candidates: list[dict] = []
         survivors: dict[int, list[dict]] = {}
@@ -1584,7 +1628,7 @@ class LakeTable:
             if not entries:
                 continue
             if file_prune:
-                hit, clean = self._purge_candidates(entries, vals)
+                hit, clean = self._purge_candidates(entries, vals, col)
             else:
                 hit, clean = list(entries), []
             if hit:
@@ -1593,17 +1637,21 @@ class LakeTable:
 
         lineage = {
             "purge": True,
+            "col": col,
             "n_keys": int(n_keys),
             "buckets": sorted(survivors),
             "files_rewritten": len(candidates),
         }
-        m["properties"][PURGE_EPOCH_PROP] = str(
-            int(m["properties"].get(PURGE_EPOCH_PROP, "0")) + 1
-        )
+        if by_key:
+            # key purges arm apply-side suppression; non-key purges gate
+            # nothing downstream (see purge_matching docstring)
+            m["properties"][PURGE_EPOCH_PROP] = str(
+                int(m["properties"].get(PURGE_EPOCH_PROP, "0")) + 1
+            )
         m["lineage"] = lineage
         if not candidates:
-            # nothing stored matches — metadata-only commit still bumps
-            # purge.epoch so apply-side suppression activates
+            # nothing stored matches — the metadata-only commit still bumps
+            # purge.epoch (key purges) so suppression activates
             self._write_manifest(m)
             self._manifest = m
             return m["version"]
@@ -1612,7 +1660,7 @@ class LakeTable:
         tx_dir = os.path.join(self.path, "data", txid)
         kept = (
             self._read_files(candidates)
-            .join(F.broadcast(kdf), on=self.key_col, how="left_anti")
+            .join(F.broadcast(kdf), on=col, how="left_anti")
             .withColumn("_bucket", self.bucket_expr())
         )
         self._table_write(kept, tx_dir)
@@ -1620,7 +1668,7 @@ class LakeTable:
         stray = set(new_files) - set(survivors)
         if stray:
             raise ValueError(
-                f"purge_keys: rows landed in buckets {sorted(stray)} outside "
+                f"purge: rows landed in buckets {sorted(stray)} outside "
                 f"the touched set {sorted(survivors)} — refusing to commit"
             )
         for b, clean in survivors.items():

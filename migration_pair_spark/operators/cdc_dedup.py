@@ -101,7 +101,12 @@ def sweep_into_chunk_index(
         .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         .filter(F.col(text_col).isNotNull())
         .select(
-            F.col("_lsn").alias("doc_id"), F.col(text_col).alias("text")
+            F.col("_lsn").alias("doc_id"),
+            F.col(text_col).alias("text"),
+            # provenance for right-to-be-forgotten: purging a url from the
+            # pages table extends into the swept corpus via
+            # IncrementalChunkIndex.purge_source(url)
+            F.col(pages.key_col).alias("src_key"),
         )
     )
     out = ix.ingest(

@@ -1127,6 +1127,11 @@ _CHUNK_CORPUS_SCHEMA = T.StructType(
         T.StructField("n_chunks", T.LongType(), True),
         T.StructField("n_kept", T.LongType(), True),
         T.StructField("deduped_text", T.StringType(), True),
+        # provenance: the source key (e.g. the page url) of the row the doc
+        # came from — what right-to-be-forgotten erasure purges by
+        # (purge_source). Nullable; batches without provenance leave it
+        # null (files written pre-column read back as null).
+        T.StructField("src_key", T.StringType(), True),
     ]
 )
 _CHUNK_INDEX_SCHEMA = T.StructType(
@@ -1229,6 +1234,10 @@ class IncrementalChunkIndex:
             key_col="doc_id",
             n_buckets=corpus_buckets,
             properties=props,
+            # src_key blooms bound purge_source to ~O(files holding the
+            # purged url): urls hash-spread across doc-id buckets, so
+            # min/max zones never prune them — blooms are the only skip
+            bloom_filter_cols=("src_key",),
         )
         LakeTable.create(
             spark,
@@ -1250,6 +1259,36 @@ class IncrementalChunkIndex:
         """Doc-id intervals committed to the corpus but not the index."""
         return subtract_ranges(
             applied_ranges(self.corpus), applied_ranges(self.index, self.corpus)
+        )
+
+    def purge_source(self, values, conflict_retries: int = 3) -> int:
+        """Right-to-be-forgotten erasure through the dedup family: remove
+        every corpus row whose ``src_key`` (the page url the CDC sweep
+        stamped) is in ``values`` — text AND deduped_text, every swept
+        version. The INDEX needs no rewrite: it stores only md5 chunk
+        fingerprints + a packed first-occurrence id, no content (the same
+        one-way-retention trade-off as the suppression ledger). The keys
+        STAY in the index, so a verbatim re-submission of erased spans is
+        still deduplicated rather than re-admitted.
+
+        Refuses while the index lags the corpus (pending id ranges): heal
+        re-chunks pending ranges FROM the corpus, and a purge hole there
+        would heal an index missing committed keys — run any ingest/sweep
+        first (healing is automatic there). The corpus rewrite is
+        file-pruned by the src_key blooms recorded at create.
+
+        Returns the corpus's new version."""
+        self.corpus.refresh()
+        self.index.refresh()
+        pending = self.pending_ranges()
+        if pending:
+            raise ValueError(
+                f"purge_source: index lags the corpus (pending id ranges "
+                f"{pending}) — run any ingest or sweep first (it heals "
+                f"automatically), then purge"
+            )
+        return self.corpus.purge_matching(
+            "src_key", values, conflict_retries=conflict_retries
         )
 
     def probe_lake_buckets(self, cks: DataFrame) -> list[int]:
@@ -1427,8 +1466,13 @@ class IncrementalChunkIndex:
             # FOREVER while the gate replays its redelivery as a no-op
             # (review-caught, reproduced). Such docs persist with NULL
             # rewrite columns.
+            # provenance rides along when the batch carries it (the CDC
+            # sweep passes the page url as src_key — purge_source's handle)
+            doc_cols = ["doc_id", "text"] + (
+                ["src_key"] if "src_key" in new_docs.columns else []
+            )
             corpus_rows = _with_system(
-                new_docs.select("doc_id", "text").join(rewritten, "doc_id", "left"),
+                new_docs.select(*doc_cols).join(rewritten, "doc_id", "left"),
                 self.corpus.bucket_expr("doc_id"),
             )
             props = {
