@@ -92,6 +92,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="quarantine: write each batch's expectation-"
                          "violating rows (+ _violated names) under this "
                          "directory before the merge")
+    cr.add_argument("--view-path", default=None,
+                    help="maintain a materialized view (cdc/views.py): "
+                         "refreshed after every committed batch; created "
+                         "on first run from --view-dim/--view-measure")
+    cr.add_argument("--view-dim", action="append", default=[],
+                    help="stored base column the view groups by (repeatable)")
+    cr.add_argument("--view-derived-dim", action="append", default=[],
+                    metavar="NAME=SQL",
+                    help="derived view group expression over base columns")
+    cr.add_argument("--view-measure", action="append", default=[],
+                    metavar="NAME=SQL",
+                    help="summed view measure (row count 'n' is automatic)")
 
     cp = sub.add_parser("compact")
     cp.add_argument("--table-path", required=True)
@@ -344,11 +356,31 @@ def main(argv: list[str] | None = None) -> int:
             on_violation=args.on_violation,
             violations_dir=args.violations_dir,
         )
+        on_batch = None
+        if args.view_path:
+            from migration_pair_spark.cdc.views import MaterializedView
+
+            view = MaterializedView(
+                spark, args.view_path, pipe.ensure_table(spark),
+                dims=tuple(args.view_dim),
+                derived_dims=_parse_expectations(
+                    p, args.view_derived_dim, "--view-derived-dim"),
+                measures=_parse_expectations(
+                    p, args.view_measure, "--view-measure"),
+            )
+            # per-batch maintenance: refresh after each committed batch —
+            # exactly-once on both sides (the view's reflected-version
+            # property), so a crash between them heals on the next batch
+            on_batch = lambda bid, lin: view.refresh()  # noqa: E731
         lineages = pipe.run_stream(
             spark, args.events, args.checkpoint,
             max_files_per_trigger=cfg.max_files_per_trigger,
+            on_batch=on_batch,
         )
-        print(json.dumps({"batches": len(lineages), "lineage": lineages}))
+        out = {"batches": len(lineages), "lineage": lineages}
+        if args.view_path:
+            out["view"] = view.refresh()  # cover trailing non-batch commits
+        print(json.dumps(out))
     elif args.cmd == "compact":
         from migration_pair_spark.lakehouse.table import LakeTable
 

@@ -1507,7 +1507,11 @@ class LakeTable:
         return hits, remaining
 
     def purge_keys(
-        self, keys, file_prune: bool = True, conflict_retries: int = 3
+        self,
+        keys,
+        file_prune: bool = True,
+        conflict_retries: int = 3,
+        record_suppression: bool = True,
     ) -> int:
         """Right-to-be-forgotten erasure (takedowns, robots revocations):
         physically REMOVE every stored row — tombstones and merge-on-read
@@ -1540,13 +1544,22 @@ class LakeTable:
         once, before the first attempt) — up to ``conflict_retries``
         times. tests/test_conflicts.py.
 
+        ``record_suppression=False`` skips the ledger and the epoch bump —
+        for tables whose keys are never re-submitted by construction (e.g.
+        a dedup corpus behind a monotone-id gate), where suppression state
+        would only accumulate dead weight.
+
         Returns the committed version."""
         kdf = self._purge_keys_df(keys)
-        self._append_suppression(kdf)
+        if record_suppression:
+            self._append_suppression(kdf)
         attempt = 0
         while True:
             try:
-                return self._purge_once(kdf, self.key_col, file_prune)
+                return self._purge_once(
+                    kdf, self.key_col, file_prune,
+                    arm_suppression=record_suppression,
+                )
             except CommitConflictError:
                 attempt += 1
                 if attempt > conflict_retries:
@@ -1594,7 +1607,13 @@ class LakeTable:
             )
         return vdf.where(F.col(col).isNotNull()).distinct()
 
-    def _purge_once(self, kdf: DataFrame, col: str, file_prune: bool) -> int:
+    def _purge_once(
+        self,
+        kdf: DataFrame,
+        col: str,
+        file_prune: bool,
+        arm_suppression: bool = False,
+    ) -> int:
         by_key = col == self.key_col
         m = self._next_manifest()
         if by_key and file_prune:
@@ -1642,9 +1661,9 @@ class LakeTable:
             "buckets": sorted(survivors),
             "files_rewritten": len(candidates),
         }
-        if by_key:
-            # key purges arm apply-side suppression; non-key purges gate
-            # nothing downstream (see purge_matching docstring)
+        if arm_suppression:
+            # ledger-recorded key purges arm apply-side suppression;
+            # non-key and no-ledger purges gate nothing downstream
             m["properties"][PURGE_EPOCH_PROP] = str(
                 int(m["properties"].get(PURGE_EPOCH_PROP, "0")) + 1
             )

@@ -369,6 +369,10 @@ class IncrementalDeduper:
             key_col="bucket_key",
             n_buckets=index_buckets,
             properties={APPLIED_PROP: "[]"},
+            # purge_docs removes signature rows by doc_id — a NON-key
+            # column here; the bloom keeps that rewrite to ~the files
+            # actually holding the purged ids instead of O(index)
+            bloom_filter_cols=("doc_id",),
         )
         return cls(spark, root)
 
@@ -385,6 +389,49 @@ class IncrementalDeduper:
         return subtract_ranges(
             applied_ranges(self.corpus), applied_ranges(self.index, self.corpus)
         )
+
+    def purge_docs(self, doc_ids, conflict_retries: int = 3) -> dict:
+        """Right-to-be-forgotten erasure from the LSH dedup state: the
+        docs' corpus rows (their full text) are removed by a bucket-pruned
+        key purge, and their signature/band rows leave the index by a
+        non-key rewrite (fingerprints reference the erased doc's id —
+        removing them also stops future probes from generating candidate
+        pairs whose verify text no longer exists).
+
+        RECALL CONTRACT — erasure trumps dedup: future near-duplicates of
+        an erased doc are ADMITTED unless some RETAINED doc also matches
+        them (erase a whole cluster to fully forget it — a surviving
+        rejected twin's text still matches). Unlike the chunk index
+        (whose content-derived md5 keys keep matching verbatim
+        re-submissions) the LSH index no longer suppresses anything about
+        the erased doc. Retained rejected docs may keep a keeper_doc_id
+        pointing at an erased id — an opaque cluster label, not content.
+        The applied-id gate state is deliberately untouched: erased ids
+        stay applied, so replayed batches remain exactly-once no-ops and
+        the monotone gate still rejects id reuse. No suppression ledger
+        is recorded (``record_suppression=False``): the monotone gate
+        already makes re-submission under an old id impossible.
+
+        Refuses while the index lags the corpus for the same reason as
+        IncrementalChunkIndex.purge_source: heal re-signs pending ranges
+        FROM corpus text a purge would have holed."""
+        self.corpus.refresh()
+        self.index.refresh()
+        pending = self.pending_ranges()
+        if pending:
+            raise ValueError(
+                f"purge_docs: index lags the corpus (pending id ranges "
+                f"{pending}) — run any ingest first (it heals "
+                f"automatically), then purge"
+            )
+        cv = self.corpus.purge_keys(
+            doc_ids, conflict_retries=conflict_retries,
+            record_suppression=False,
+        )
+        iv = self.index.purge_matching(
+            "doc_id", doc_ids, conflict_retries=conflict_retries
+        )
+        return {"corpus_version": cv, "index_version": iv}
 
     def _band_rows(self, sig: DataFrame) -> DataFrame:
         """Band rows keyed for the index: (bucket_key, doc_id, band, bucket).

@@ -138,6 +138,44 @@ def test_pages_and_corpus_purge_compose(spark, swept):
     assert UA not in {r["src_key"] for r in ix.corpus.read().collect()}
 
 
+def test_lsh_deduper_purge_docs_erases_text_and_signatures(spark, tmp_path):
+    from migration_pair_spark.operators.incremental import IncrementalDeduper
+
+    anchor = ("alpha99 bravo99 charlie99 delta99 echo99 foxtrot99 golf99 "
+              "hotel99 india99 juliet99")
+    d = IncrementalDeduper.create(spark, str(tmp_path / "d"),
+                                  corpus_buckets=4, index_buckets=4,
+                                  threshold=0.5)
+    d.ingest(spark.createDataFrame(
+        [(0, anchor), (1, "unrelated base document about mountain weather")],
+        "doc_id long, text string"), "base")
+    # a near-dup of doc 0 is rejected while doc 0 exists
+    r = d.ingest(spark.createDataFrame(
+        [(10, anchor + " tail99")], "doc_id long, text string"), "b1")
+    assert {(x["doc_id"], x["keeper_doc_id"])
+            for x in r["keepers"].collect()} == {(10, 0)}
+
+    # erase the WHOLE near-dup cluster (0 and its rejected twin 10) — a
+    # surviving member's text/signatures would otherwise still match
+    out = d.purge_docs([0, 10])
+    d.corpus.refresh(); d.index.refresh()
+    assert out["corpus_version"] == d.corpus.version
+    # text gone from the corpus, signature rows gone from the index
+    assert sorted(x.doc_id for x in d.corpus.read().collect()) == [1]
+    assert d.index.read().filter("doc_id IN (0, 10)").count() == 0
+    # no dead-weight suppression state on the gated corpus
+    assert d.corpus.suppressed_keys() is None
+    # recall contract: a NEW near-dup of the erased cluster is ADMITTED
+    r2 = d.ingest(spark.createDataFrame(
+        [(20, anchor + " other99")], "doc_id long, text string"), "b2")
+    k2 = {(x["doc_id"], x["keeper_doc_id"]) for x in r2["keepers"].collect()}
+    assert k2 == {(20, 20)}
+    # replay of an already-applied batch is still an exactly-once no-op
+    assert d.ingest(spark.createDataFrame(
+        [(10, anchor + " tail99")], "doc_id long, text string"),
+        "b1")["replayed"]
+
+
 def test_purge_matching_nonkey_generic(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "t"),
