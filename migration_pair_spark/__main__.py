@@ -178,6 +178,11 @@ def main(argv: list[str] | None = None) -> int:
                          "unreferenced files immediately")
     pg.add_argument("--keep-last", type=int, default=1,
                     help="snapshots retained by --erase-history")
+    pg.add_argument("--vacuum-older-than-s", type=float, default=3600.0,
+                    help="vacuum safety horizon for --erase-history: a "
+                         "CONCURRENT writer's uncommitted files look like "
+                         "orphans; 0 deletes immediately and is safe ONLY "
+                         "with no concurrent writers")
     pg.add_argument("--verify", action="store_true",
                     help="audit afterwards: rows still matching per "
                          "retained snapshot (empty == erasure complete)")
@@ -561,21 +566,35 @@ def main(argv: list[str] | None = None) -> int:
 
             k = F.col(table.key_col)
             kdf = kdf.withColumn(table.key_col, F.coalesce(canonical_url(k), k))
-        version = table.purge_keys(kdf)
-        out = {"snapshot_id": version, "lineage": table.lineage}
+        ix = None
         if args.chunk_index:
             from migration_pair_spark.operators.incremental import (
                 IncrementalChunkIndex,
             )
 
+            # load + lag-check BEFORE any commit: purge_source refusing
+            # AFTER the table purge would abort the CLI with the table
+            # half-purged and no JSON reporting it (review-caught)
             ix = IncrementalChunkIndex(spark, args.chunk_index)
+            pending = ix.pending_ranges()
+            if pending:
+                p.error(
+                    f"--chunk-index: index lags the corpus (pending id "
+                    f"ranges {pending}) — run a sweep/ingest first (it "
+                    f"heals automatically); nothing was purged"
+                )
+        version = table.purge_keys(kdf)
+        out = {"snapshot_id": version, "lineage": table.lineage}
+        if ix is not None:
             out["chunk_corpus_version"] = ix.purge_source(kdf)
             out["chunk_corpus_lineage"] = ix.corpus.lineage
         if args.erase_history:
             out["expired_versions"] = table.expire_snapshots(
                 keep_last=args.keep_last
             )
-            out["vacuumed_files"] = len(table.vacuum(older_than_s=0.0))
+            out["vacuumed_files"] = len(
+                table.vacuum(older_than_s=args.vacuum_older_than_s)
+            )
         if args.verify:
             out["remaining_by_version"] = {
                 str(v): n for v, n in table.verify_purged(kdf).items()

@@ -267,26 +267,35 @@ def apply_cdc_batch(
             f"on_violation must be 'drop' or 'fail', got {on_violation!r}"
         )
     spark = batch.sparkSession
-    attempt = 0
-    while True:
-        try:
-            with _aqe_disabled(spark):
-                return _apply_cdc_batch_inner(
-                    table, batch, batch_id, epoch_registry, extract_text,
-                    write_mode, coalesce_bucket_files, expectations or {},
-                    on_violation, violations_dir, suppress_keys, t0,
-                    phase_ms, _mark,
-                )
-        except CommitConflictError as e:
-            attempt += 1
-            if attempt > conflict_retries:
-                raise
-            logger.warning(
-                "batch %s lost commit to a rival writer (%s) — refreshing "
-                "and re-applying (attempt %d/%d)",
-                batch_id, e, attempt, conflict_retries,
+    state = {"suppress": suppress_keys, "attempt": 0}
+
+    def _run():
+        with _aqe_disabled(spark):
+            return _apply_cdc_batch_inner(
+                table, batch, batch_id, epoch_registry, extract_text,
+                write_mode, coalesce_bucket_files, expectations or {},
+                on_violation, violations_dir, state["suppress"], t0,
+                phase_ms, _mark,
             )
-            table.refresh()
+
+    def _on_conflict(e):
+        state["attempt"] += 1
+        logger.warning(
+            "batch %s lost commit to a rival writer (%s) — refreshing "
+            "and re-applying (attempt %d/%d)",
+            batch_id, e, state["attempt"], conflict_retries,
+        )
+        table.refresh()
+        # re-derive the suppression ledger from the RIVAL's state: the
+        # rival may BE a purge of a key in this very batch, and retrying
+        # with the stale (pre-purge) ledger would merge the erased key
+        # right back (review-caught; pinned in tests/test_conflicts.py)
+        if hasattr(table, "suppressed_keys"):
+            state["suppress"] = table.suppressed_keys()
+
+    from migration_pair_spark.lakehouse.table import retry_conflicts
+
+    return retry_conflicts(_run, conflict_retries, _on_conflict)
 
 
 def _apply_cdc_batch_inner(

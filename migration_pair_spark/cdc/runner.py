@@ -223,6 +223,7 @@ class CdcPipeline:
         keys: list,
         erase_history: bool = False,
         keep_last: int = 1,
+        vacuum_older_than_s: float = 3600.0,
     ) -> dict:
         """Right-to-be-forgotten erasure of ``keys`` (takedowns, robots
         revocations): canonicalizes the keys exactly like ingest does when
@@ -234,8 +235,19 @@ class CdcPipeline:
 
         ``erase_history=True`` completes erasure across retained history:
         expire all but ``keep_last`` snapshots and vacuum unreferenced
-        files immediately. Leave it False to schedule retention separately
-        (verify with LakeTable.verify_purged)."""
+        files. ``vacuum_older_than_s`` keeps vacuum's concurrent-writer
+        safety horizon (a racing stream's uncommitted transaction files
+        look exactly like orphans — vacuum(0) would delete data a rival
+        is about to commit, review-caught); pass 0 ONLY on a table with no
+        concurrent writers, otherwise verify_purged reports the last young
+        pre-purge files until the horizon passes. Leave erase_history
+        False to schedule retention separately.
+
+        Downstream consumers (changelog subscriptions, materialized-view
+        refreshes) read snapshot-diff spans, and expiring manifests they
+        have not consumed breaks them loudly — bring them PAST the purge
+        version first: purge (erase_history=False) -> emit/refresh
+        consumers -> retention. Same rule as the retention CLI."""
         table = self.ensure_table(spark)
         kdf = table._purge_keys_df(keys)
         if self.canonicalize_key:
@@ -250,7 +262,9 @@ class CdcPipeline:
         out = {"snapshot_id": version, "lineage": table.lineage}
         if erase_history:
             out["expired_versions"] = table.expire_snapshots(keep_last=keep_last)
-            out["vacuumed_files"] = len(table.vacuum(older_than_s=0.0))
+            out["vacuumed_files"] = len(
+                table.vacuum(older_than_s=vacuum_older_than_s)
+            )
         return out
 
     def normalize(self, batch: DataFrame) -> DataFrame:

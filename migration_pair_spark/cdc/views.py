@@ -61,7 +61,7 @@ from pyspark.sql import types as T
 
 from migration_pair_spark.cdc.changelog import snapshot_diff
 from migration_pair_spark.cdc.ivm import aggregate_delta, apply_delta
-from migration_pair_spark.lakehouse.table import CommitConflictError, LakeTable
+from migration_pair_spark.lakehouse.table import LakeTable
 
 #: view-table property: the base-table version the committed state reflects
 BASE_VERSION_PROP = "view.base_version"
@@ -134,6 +134,11 @@ class MaterializedView:
             probe = spark.createDataFrame([], base.schema).select(
                 *[F.col(d).alias(d) for d in dims],
                 *[F.expr(sql).alias(nm) for nm, sql in derived_dims.items()],
+                # measures validate here too: a typo'd measure would
+                # otherwise pin bad SQL into the immutable definition,
+                # which the drift check then prevents correcting
+                # (review-caught)
+                *[F.expr(sql).alias(f"_m_{nm}") for nm, sql in measures.items()],
             )
             dim_types = {f.name: f.dataType for f in probe.schema.fields}
             fields = [T.StructField("_gk", T.StringType(), False)]
@@ -240,14 +245,12 @@ class MaterializedView:
         refresher winning the optimistic commit is absorbed: refresh
         re-reads the reflected version — if the rival covered our span
         this becomes a no-op, otherwise it folds the remainder."""
-        attempt = 0
-        while True:
-            try:
-                return self._refresh_once()
-            except CommitConflictError:
-                attempt += 1
-                if attempt > conflict_retries:
-                    raise
+        from migration_pair_spark.lakehouse.table import retry_conflicts
+
+        # _refresh_once refreshes base+view itself, so rebase needs no hook
+        return retry_conflicts(
+            self._refresh_once, conflict_retries, lambda _e: None
+        )
 
     def _refresh_once(self) -> dict:
         self.base.refresh()
@@ -272,7 +275,11 @@ class MaterializedView:
             nonzero = nonzero | (F.col(f"{name}_delta") != 0)
         delta = delta.filter(nonzero)
 
-        delta = delta.withColumn("_gk", self._gk_expr())
+        # persist across the two actions (touched-bucket collect + the
+        # write): without it each would recompute the cross-snapshot diff
+        # join — the expensive part of a refresh (review-caught; the same
+        # fix as apply_batch's chunk loop)
+        delta = delta.withColumn("_gk", self._gk_expr()).persist()
         # touched view buckets: bounded driver collect (<= n_buckets ints)
         touched = sorted(
             int(r["_b"])
@@ -287,28 +294,45 @@ class MaterializedView:
             "buckets": touched,
         }
         props = {BASE_VERSION_PROP: str(cur)}
-        if not touched:
-            # a span with no net group changes still advances the reflected
-            # version (metadata-only commit keeps refresh exactly-once)
-            m = self.view._next_manifest()
-            m["properties"].update(props)
-            m["lineage"] = lineage
-            self.view._write_manifest(m)
-            self.view._manifest = m
-            return {**lineage, "refreshed": True, "view_version": m["version"]}
+        try:
+            if not touched:
+                # a span with no net group changes still advances the
+                # reflected version (metadata-only commit keeps refresh
+                # exactly-once)
+                m = self.view._next_manifest()
+                m["properties"].update(props)
+                m["lineage"] = lineage
+                self.view._write_manifest(m)
+                self.view._manifest = m
+                return {
+                    **lineage, "refreshed": True, "view_version": m["version"]
+                }
 
-        # fold deltas into ONLY the touched buckets' current groups — the
-        # untouched ones carry over by manifest reference, so refresh work
-        # and write are O(changed groups)
-        state = self.view.read_buckets(touched).drop("_lsn", "_deleted", "_gk")
-        merged = apply_delta(state, delta, self.dims, self.measure_names)
-        out = merged.select(
-            self._gk_expr().alias("_gk"),
-            *[F.col(c) for c in (*self.dims, *self.measure_names)],
-            F.lit(0).cast("long").alias("_lsn"),
-            F.lit(False).alias("_deleted"),
-        ).withColumn("_bucket", self.view.bucket_expr("_gk"))
-        version = self.view.replace_buckets(
-            out, touched, properties=props, lineage=lineage
-        )
-        return {**lineage, "refreshed": True, "view_version": version}
+            # fold deltas into ONLY the touched buckets' current groups —
+            # the untouched ones carry over by manifest reference, so
+            # refresh work and write are O(changed groups)
+            state = self.view.read_buckets(touched).drop(
+                "_lsn", "_deleted", "_gk"
+            )
+            merged = apply_delta(state, delta, self.dims, self.measure_names)
+            # cast measures to the PINNED view types, exactly like the seed
+            # path: apply_delta's sums may widen (ivm deliberately skips
+            # pre-sum casts), and an uncast double written into a
+            # long-schema bucket file corrupts the view permanently
+            # (review-caught)
+            for name in self.measure_names:
+                merged = merged.withColumn(
+                    name, F.col(name).cast(self.view.schema[name].dataType)
+                )
+            out = merged.select(
+                self._gk_expr().alias("_gk"),
+                *[F.col(c) for c in (*self.dims, *self.measure_names)],
+                F.lit(0).cast("long").alias("_lsn"),
+                F.lit(False).alias("_deleted"),
+            ).withColumn("_bucket", self.view.bucket_expr("_gk"))
+            version = self.view.replace_buckets(
+                out, touched, properties=props, lineage=lineage
+            )
+            return {**lineage, "refreshed": True, "view_version": version}
+        finally:
+            delta.unpersist()

@@ -362,6 +362,13 @@ class IcebergTable:
         )
         if not buckets:
             return self.version
+        # wire the retry budget to Iceberg's native optimistic loop (the
+        # docstring's contract): CommitFailedException re-plans the rewrite
+        # up to this many times — the adapter needs no loop of its own
+        self.spark.sql(
+            f"ALTER TABLE {self.name} SET TBLPROPERTIES "
+            f"('commit.retry.num-retries' = '{int(conflict_retries)}')"
+        )
         resolved = self.read_buckets(buckets, resolve=True)
         remaining = sorted(self.mor_buckets - {int(b) for b in buckets})
         out = resolved.withColumn("_bucket", self.bucket_expr())

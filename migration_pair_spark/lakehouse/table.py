@@ -59,6 +59,22 @@ class CommitConflictError(RuntimeError):
     the new table state. Recomputable operations (CDC apply, compact,
     purge, view refresh) do that automatically; see their
     ``conflict_retries`` parameters."""
+
+
+def retry_conflicts(fn, retries: int, on_conflict):
+    """The one optimistic-rebase loop every recomputable operation shares:
+    run ``fn``; on CommitConflictError call ``on_conflict(error)`` (which
+    must refresh whatever state ``fn`` recomputes from) and re-run, up to
+    ``retries`` times; then re-raise."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except CommitConflictError as e:
+            attempt += 1
+            if attempt > retries:
+                raise
+            on_conflict(e)
 _SYSTEM_FIELDS = [
     T.StructField("_lsn", T.LongType(), True),
     T.StructField("_deleted", T.BooleanType(), True),
@@ -1178,15 +1194,11 @@ class LakeTable:
         up to ``conflict_retries`` times (Iceberg's rewrite_data_files
         retry analog). The losing attempt's files are invisible orphans
         (vacuum collects them). tests/test_conflicts.py."""
-        attempt = 0
-        while True:
-            try:
-                return self._compact_once(bucket_ids, sort_by, max_rows_per_file)
-            except CommitConflictError:
-                attempt += 1
-                if attempt > conflict_retries:
-                    raise
-                self.refresh()
+        return retry_conflicts(
+            lambda: self._compact_once(bucket_ids, sort_by, max_rows_per_file),
+            conflict_retries,
+            lambda _e: self.refresh(),
+        )
 
     def _compact_once(
         self,
@@ -1553,18 +1565,14 @@ class LakeTable:
         kdf = self._purge_keys_df(keys)
         if record_suppression:
             self._append_suppression(kdf)
-        attempt = 0
-        while True:
-            try:
-                return self._purge_once(
-                    kdf, self.key_col, file_prune,
-                    arm_suppression=record_suppression,
-                )
-            except CommitConflictError:
-                attempt += 1
-                if attempt > conflict_retries:
-                    raise
-                self.refresh()
+        return retry_conflicts(
+            lambda: self._purge_once(
+                kdf, self.key_col, file_prune,
+                arm_suppression=record_suppression,
+            ),
+            conflict_retries,
+            lambda _e: self.refresh(),
+        )
 
     def purge_matching(
         self,
@@ -1586,15 +1594,11 @@ class LakeTable:
         if col not in self.schema.names:
             raise ValueError(f"purge_matching: unknown column {col!r}")
         kdf = self._values_df(col, values)
-        attempt = 0
-        while True:
-            try:
-                return self._purge_once(kdf, col, file_prune)
-            except CommitConflictError:
-                attempt += 1
-                if attempt > conflict_retries:
-                    raise
-                self.refresh()
+        return retry_conflicts(
+            lambda: self._purge_once(kdf, col, file_prune),
+            conflict_retries,
+            lambda _e: self.refresh(),
+        )
 
     def _values_df(self, col: str, values) -> DataFrame:
         ctype = self.schema[col].dataType
@@ -1677,9 +1681,14 @@ class LakeTable:
 
         txid = f"tx-{m['version']:08d}-{uuid.uuid4().hex[:8]}"
         tx_dir = os.path.join(self.path, "data", txid)
+        # broadcast only when the key set was driver-collected anyway
+        # (file_prune): the file_prune=False escape hatch exists for purge
+        # sets too large to materialize on the driver, and a broadcast
+        # hint there would defeat it (review-caught)
+        anti = F.broadcast(kdf) if file_prune else kdf
         kept = (
             self._read_files(candidates)
-            .join(F.broadcast(kdf), on=col, how="left_anti")
+            .join(anti, on=col, how="left_anti")
             .withColumn("_bucket", self.bucket_expr())
         )
         self._table_write(kept, tx_dir)

@@ -119,6 +119,38 @@ def test_apply_retries_when_a_maintenance_commit_wins(
     assert lin2["skipped"]
 
 
+def test_apply_retry_rederives_suppression_after_rival_purge(
+    spark, tmp_path, monkeypatch
+):
+    # the rival is a PURGE of a key carried by the in-flight batch: the
+    # retry must re-derive the suppression ledger from the rival's state —
+    # re-applying with the stale (pre-purge) ledger would merge the erased
+    # key right back (review-caught)
+    victim = "https://a/victim"
+    pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=4)
+    pipe.apply_batch(spark, _rows(spark, [_ev(1, "https://a/0")]), batch_id=0)
+
+    orig = LakeTable._write_manifest
+    state = {"injected": 0}
+
+    def chaos(self, manifest):
+        lin = manifest.get("lineage") or {}
+        if state["injected"] == 0 and lin.get("batch_id") == 1:
+            state["injected"] = 1
+            LakeTable.load(spark, self.path).purge_keys([victim])
+        return orig(self, manifest)
+
+    monkeypatch.setattr(LakeTable, "_write_manifest", chaos)
+    lin = pipe.apply_batch(spark, _rows(spark, [
+        _ev(11, victim), _ev(12, "https://a/2")]), batch_id=1)
+    monkeypatch.undo()
+    assert state["injected"] == 1
+    assert lin["rows_suppressed"] == 1 and lin["rows_upserted"] == 1
+    t = LakeTable.load(spark, pipe.table_path)
+    assert _urls(t) == ["https://a/0", "https://a/2"]
+    assert victim not in _urls(t)
+
+
 def test_view_refresh_absorbs_a_rival_commit(spark, tmp_path, monkeypatch):
     pipe = CdcPipeline(table_path=str(tmp_path / "t"), n_buckets=4)
     pipe.ensure_table(spark)
