@@ -71,6 +71,7 @@ HEADLINE_QUERIES = [
     "debezium_roundtrip",
     "url_canonicalize_docs",
     "pii_scrub_docs",
+    "ivm_fold_rollup",
 ]
 
 _WORKER = r"""
