@@ -383,6 +383,21 @@ def _apply_cdc_batch_inner(
         exp_aggs.append(
             F.sum((any_drop & ~is_stale).cast("long")).alias("_drop_any")
         )
+    if applied:
+        stale_aggs = [
+            F.sum(is_stale.cast("long")).alias("n_stale"),
+            F.min(F.when(~is_stale, F.col("change_lsn"))).alias("fresh_min"),
+            F.max(F.when(~is_stale, F.col("change_lsn"))).alias("fresh_max"),
+        ]
+    else:
+        # nothing applied yet (first batch / fresh table): nothing is stale
+        # and fresh == all — alias the base aggregates instead of paying
+        # three more expressions on the serial gate path (r6 trim)
+        stale_aggs = [
+            F.sum(F.lit(0)).alias("n_stale"),
+            F.min("change_lsn").alias("fresh_min"),
+            F.max("change_lsn").alias("fresh_max"),
+        ]
     per_group = (
         batch.groupBy(
             F.input_file_name().alias("_f"), table.bucket_expr().alias("_b")
@@ -392,9 +407,7 @@ def _apply_cdc_batch_inner(
             F.min("change_lsn").alias("lsn_min"),
             F.max("change_lsn").alias("lsn_max"),
             F.max("schema_epoch").alias("max_epoch"),
-            F.sum(is_stale.cast("long")).alias("n_stale"),
-            F.min(F.when(~is_stale, F.col("change_lsn"))).alias("fresh_min"),
-            F.max(F.when(~is_stale, F.col("change_lsn"))).alias("fresh_max"),
+            *stale_aggs,
             *exp_aggs,
         )
         .collect()
@@ -526,7 +539,11 @@ def _apply_cdc_batch_inner(
         epoch_props[EPOCH_PROP] = str(max_epoch)
     t_phase = _mark("evolve", t_phase)
 
-    fresh = batch.filter(~covered_expr(F.col("change_lsn"), applied))
+    fresh = (
+        batch.filter(~covered_expr(F.col("change_lsn"), applied))
+        if applied
+        else batch
+    )
     # reject expectation violators before the merge (their LSNs still
     # commit as applied — a rejection is a decision, not pending work)
     for v in exp_viol:
@@ -583,10 +600,20 @@ def _apply_cdc_batch_inner(
     # Project winners onto the physical table schema, casting every column to
     # the table's CURRENT type (the stream side may carry wider superset
     # types, e.g. fetch_status read as long before the widen epoch).
+    win_types = {f.name: f.dataType for f in winners.schema.fields}
     proj = []
     for field in table.schema.fields:
-        src = F.col(field.name) if field.name in winners.columns else F.lit(None)
-        proj.append(src.cast(field.dataType).alias(field.name))
+        if field.name not in winners.columns:
+            proj.append(F.lit(None).cast(field.dataType).alias(field.name))
+        elif win_types[field.name] == field.dataType:
+            # already the physical type: skip the no-op cast (smaller plan,
+            # fewer py4j round trips on the serial path — the cast only
+            # matters for superset-typed stream columns pre-widen)
+            proj.append(F.col(field.name))
+        else:
+            proj.append(
+                F.col(field.name).cast(field.dataType).alias(field.name)
+            )
     winners_phys = winners.select(
         *proj,
         F.col("change_lsn").alias("_lsn"),
@@ -677,6 +704,11 @@ def _apply_cdc_batch_inner(
         )
 
     t_phase = _mark("write_commit", t_phase)
+    # finer attribution when the target exposes it (LakeTable records the
+    # Spark write action vs the driver-side manifest commit separately)
+    wp = getattr(table, "last_write_phases", None)
+    if wp:
+        phase_ms.update(wp)
     observed = obs.get  # available immediately: the write action completed
     lineage["rows_upserted"] = int(observed["_up"])
     lineage["rows_deleted"] = int(observed["_del"])

@@ -1065,7 +1065,9 @@ class LakeTable:
         # extra full shuffle of the merged output saves the single largest
         # data movement of a MERGE. Cost: up to one file per (task x bucket)
         # per snapshot instead of one per bucket — bounded by compact().
+        t_exec = time.monotonic()
         self._table_write(df_with_bucket, tx_dir, max_rows_per_file)
+        t_commit = time.monotonic()
 
         # Map the written files back into the manifest, bucket by bucket.
         new_files = self._collect_written_files(tx_dir, m["schema_version"])
@@ -1083,6 +1085,12 @@ class LakeTable:
         m["lineage"] = lineage
         self._write_manifest(m)
         self._manifest = m
+        # phase attribution for the apply loop's lineage (write job vs
+        # driver-side commit work) — read by cdc/apply, advisory only
+        self.last_write_phases = {
+            "write_exec_ms": int((t_commit - t_exec) * 1000),
+            "commit_ms": int((time.monotonic() - t_commit) * 1000),
+        }
         return m["version"]
 
     def append_delta_buckets(

@@ -310,12 +310,52 @@ def jaccard_verify(
     return out
 
 
+def _union_find_labels(rows, cap: int) -> "dict[int, int] | None":
+    """Driver-side connected components over collected (a, b) edge rows:
+    {node: component minimum} with path compression and min-root unions.
+    Returns None when ``rows`` overflowed the cap (caller falls back to the
+    distributed loop). Iterative find — chain-shaped clusters build parent
+    chains deeper than Python's recursion limit well inside the cap."""
+    if len(rows) > cap:
+        return None
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while x != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(int(r[0])), find(int(r[1]))
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return {x: find(x) for x in list(parent)}
+
+
+#: duplicate-edge sets at or below this size resolve components with ONE
+#: bounded driver collect + union-find instead of the distributed
+#: label-propagation loop (identical labels — both produce component
+#: minima). The loop costs O(log diameter) ROUNDS, each an eager
+#: localCheckpoint job + joins + a driver count (~12-15 jobs for typical
+#: graphs) — pure fixed overhead when the edge set fits on the driver.
+#: Same policy and default as IncrementalDeduper.driver_cc_max_edges;
+#: <= 0 forces the distributed path (tests pin both paths identical).
+DRIVER_CC_MAX_EDGES = 500_000
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 30,
     stats: "dict | None" = None,
+    driver_cc_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Near-dup CLUSTER RESOLUTION — the step that lets dedup actually drop
     rows: connected components over verified duplicate pairs, each doc mapped
@@ -323,17 +363,56 @@ def dedup_clusters(
     document (singletons keep themselves); rows with keeper != self are the
     drop set.
 
-    Implementation: iterative min-label propagation with joins + aggregates
-    only (no GraphX / no RDDs). Per round every node takes the min of its
-    own label, its neighbors' labels, AND its label's label (POINTER
-    DOUBLING — the label-of-label shortcut halves the remaining distance to
-    the component minimum each round, so convergence is O(log diameter)
-    rounds instead of O(diameter): a 64-hop chain resolves in <= 7 rounds,
-    pinned in tests/test_operators.py). Each round is two joins + one
-    groupBy on the EDGE/LABEL sets only (not the corpus), so at 100 TB the
-    loop cost scales with the duplicate graph, not the table. The
-    driver-side convergence check is one count per round (bounded, like the
-    CDC gate stats). ``stats``, when given, records {"rounds": n}."""
+    Execution: below ``driver_cc_max_edges`` the edge set is collected
+    (bounded by limit cap+1 — overflow falls through) and resolved with a
+    driver union-find: ONE job over the pair pipeline instead of the
+    round-based loop, and the upstream candidates/verify lineage runs
+    exactly once (the loop's seed checkpoint ran it twice via the
+    edge-direction union). Above the cap: iterative min-label propagation
+    with joins + aggregates only (no GraphX / no RDDs). Per round every
+    node takes the min of its own label, its neighbors' labels, AND its
+    label's label (POINTER DOUBLING — the label-of-label shortcut halves
+    the remaining distance to the component minimum each round, so
+    convergence is O(log diameter) rounds instead of O(diameter): a 64-hop
+    chain resolves in <= 7 rounds, pinned in tests/test_operators.py).
+    Each round is two joins + one groupBy on the EDGE/LABEL sets only (not
+    the corpus), so at 100 TB the loop cost scales with the duplicate
+    graph, not the table. The driver-side convergence check is one count
+    per round (bounded, like the CDC gate stats). ``stats``, when given,
+    records {"rounds": n} (0 = driver path). Both paths produce identical
+    keepers (pinned in tests/test_operators.py)."""
+    if driver_cc_max_edges and driver_cc_max_edges > 0:
+        head = (
+            pairs.select(
+                F.col("doc_a").cast("long"), F.col("doc_b").cast("long")
+            )
+            .limit(driver_cc_max_edges + 1)
+            .collect()
+        )
+        labels_map = _union_find_labels(head, driver_cc_max_edges)
+        if labels_map is not None:
+            if stats is not None:
+                stats["rounds"] = 0
+            mapping = [
+                (int(d), int(k)) for d, k in labels_map.items() if k != d
+            ]
+            if not mapping:
+                return docs.select(
+                    id_col, F.col(id_col).alias("keeper_doc_id")
+                )
+            map_df = docs.sparkSession.createDataFrame(
+                mapping, f"{id_col} long, _cc_label long"
+            )
+            return (
+                docs.select(id_col)
+                .join(F.broadcast(map_df), id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce(F.col("_cc_label"), F.col(id_col)).alias(
+                        "keeper_doc_id"
+                    ),
+                )
+            )
     # localCheckpoint (eager) per round: iterative algorithms MUST truncate
     # lineage, or round k replays rounds 1..k-1 and the plan grows without
     # bound; checkpointed blocks are reclaimed by the context cleaner.

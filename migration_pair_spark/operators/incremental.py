@@ -88,12 +88,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+import contextlib
+
 from migration_pair_spark.cdc.apply import (
     _aqe_disabled,
     covered_expr,
     merge_ranges,
     subtract_ranges,
 )
+
+
+@contextlib.contextmanager
+def _scoped_shuffle_partitions(spark, n: int):
+    """Temporarily size spark.sql.shuffle.partitions DOWN to ``n`` for one
+    ingest's jobs (saved/restored; never raises the value). The ingest
+    pipelines shuffle O(batch) rows — at the session default (cluster
+    width) a small batch pays a full wave of near-empty reduce tasks per
+    shuffle stage, pure scheduler overhead across the ~10 stages of an
+    ingest. ``n`` derives from the batch's ROW COUNT (the same
+    rows_per_task sizing as the signing repartition), so a cluster-scale
+    batch keeps the session value — this is data-adaptive, not a local
+    tuning constant."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if int(prev) <= n:
+        yield
+        return
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 from migration_pair_spark.lakehouse.table import LakeTable
 from migration_pair_spark.operators import dedup as dd
 
@@ -509,20 +534,28 @@ class IncrementalDeduper:
     # ------------------------------------------------------ keeper resolution
 
     def _resolve_keepers(
-        self, new_docs: DataFrame, edges: DataFrame, n_edges: int, seen_max: int
+        self, new_docs: DataFrame, edges: DataFrame, seen_max: int
     ) -> tuple[DataFrame, int, list[tuple[int, int]]]:
         """Connected components over the keeper-substituted duplicate edges.
         Returns (keepers DF for the batch, n_rejected, bridge pairs).
 
-        Below ``driver_cc_max_edges`` the edge set is collected and resolved
-        with a driver union-find — one bounded job instead of the O(log n)
-        distributed label-propagation rounds (each of which costs eager
-        checkpoints); above it, the distributed path runs with a
+        At or below ``driver_cc_max_edges`` the edge set is collected (ONE
+        bounded job — ``limit(cap+1)`` both fetches the edges and detects
+        overflow, replacing the separate count job the round-5 shape paid
+        per ingest) and resolved with a driver union-find instead of the
+        O(log n) distributed label-propagation rounds (each of which costs
+        eager checkpoints); on overflow, the distributed path runs with a
         label-group bridge check. Both paths produce identical keepers
-        (pinned in tests by forcing the cap to 0)."""
-        if n_edges <= self.driver_cc_max_edges:
+        (pinned in tests by forcing the cap negative)."""
+        head = None
+        cap = self.driver_cc_max_edges
+        if cap is not None and cap >= 0:
+            head = edges.select("doc_a", "doc_b").limit(cap + 1).collect()
+            if len(head) > cap:
+                head = None
+        if head is not None:
             uf = _UnionFind(seen_max)
-            for r in edges.select("doc_a", "doc_b").collect():
+            for r in head:
                 uf.union(int(r["doc_a"]), int(r["doc_b"]))
             mapping = {
                 x: uf.find(x) for x in list(uf.parent) if x > seen_max
@@ -557,7 +590,12 @@ class IncrementalDeduper:
             .distinct()
         )
         all_ids = new_docs.select("doc_id").union(nodes).distinct()
-        labels = dd.dedup_clusters(all_ids, edges).localCheckpoint()
+        # cap 0: this fallback only runs when the edge set already
+        # overflowed OUR cap — the inner driver fast path would pay a
+        # doomed second limit-collect just to discover that again
+        labels = dd.dedup_clusters(
+            all_ids, edges, driver_cc_max_edges=0
+        ).localCheckpoint()
         bridge_rows = (
             labels.filter(F.col("doc_id") <= F.lit(seen_max))
             .groupBy("keeper_doc_id")
@@ -635,19 +673,30 @@ class IncrementalDeduper:
         # pipeline had the opposite trade).
         aqe_off = _aqe_disabled(self.spark)
         aqe_off.__enter__()
+        # Parallelize the narrow signing chain: a small batch often
+        # arrives as ONE file -> one input partition, and the
+        # explode-heavy shingle map then runs single-threaded (profiled
+        # ~2 s of a ~10 s ingest at sf0.1). Target partition count is
+        # sized by the batch's ROW count (known from the stats job) —
+        # a tiny batch must not fan out to full cluster width and pay
+        # scheduler overhead per near-empty task; a large multi-file
+        # batch keeps its natural partitioning and pays no shuffle.
+        # A related width bounds the ingest's SHUFFLE stages (scoped conf):
+        # reduce waves sized to the batch, not the cluster — but sized by
+        # the DERIVED row volume (band rows = len(bands) x docs; candidate
+        # shingle explodes are bigger still), not the raw doc count, so a
+        # small batch never collapses the verify stages to one task.
+        par = min(
+            self.spark.sparkContext.defaultParallelism,
+            max(1, n_new // self.rows_per_task),
+        )
+        width = min(
+            self.spark.sparkContext.defaultParallelism,
+            max(1, (n_new * max(len(self.bands), 2)) // self.rows_per_task),
+        )
+        spp = _scoped_shuffle_partitions(self.spark, width)
+        spp.__enter__()
         try:
-            # Parallelize the narrow signing chain: a small batch often
-            # arrives as ONE file -> one input partition, and the
-            # explode-heavy shingle map then runs single-threaded (profiled
-            # ~2 s of a ~10 s ingest at sf0.1). Target partition count is
-            # sized by the batch's ROW count (known from the stats job) —
-            # a tiny batch must not fan out to full cluster width and pay
-            # scheduler overhead per near-empty task; a large multi-file
-            # batch keeps its natural partitioning and pays no shuffle.
-            par = min(
-                self.spark.sparkContext.defaultParallelism,
-                max(1, n_new // self.rows_per_task),
-            )
             if 1 < par and new_docs.rdd.getNumPartitions() < par:
                 new_docs = keep(new_docs.repartition(par, "doc_id"))
             # shingle ARRAYS, not exploded rows: signatures derive narrowly
@@ -715,9 +764,8 @@ class IncrementalDeduper:
                     .join(keeper_map, F.col("doc_b") == F.col("_sid"), "left")
                     .select("doc_a", F.coalesce("_sk", "doc_b").alias("doc_b"))
                 )
-            n_edges = verified.count()  # checkpointed — no recompute
             keepers, n_rejected, bridges = self._resolve_keepers(
-                new_docs, edges, n_edges, seen_max
+                new_docs, edges, seen_max
             )
             if bridges and self.on_bridge == "error":
                 raise ValueError(
@@ -747,6 +795,7 @@ class IncrementalDeduper:
             # carry transitivity). A crash here is healed by the gate above.
             self._append_index(bands_new, rng, batch_id, n_new)
         finally:
+            spp.__exit__(None, None, None)
             aqe_off.__exit__(None, None, None)
             for df in cached:
                 df.unpersist()
@@ -1036,14 +1085,24 @@ class IncrementalEmbeddingIndex:
         # IncrementalDeduper.ingest)
         aqe_off = _aqe_disabled(self.spark)
         aqe_off.__enter__()
+        # small-batch parallelism fix, row-count sized — see
+        # IncrementalDeduper.ingest (vectors are cheaper per row than
+        # shingled docs, so the per-task quantum is larger). The SHUFFLE
+        # width is sized by the derived bucket-row volume (n_tables rows
+        # per vector) — the verify stage's exact-cosine HOF is interpreted
+        # per element and must keep its parallelism (a doc-count-sized
+        # width of 1 serialized it: measured 10 s -> 19 s at sf0.1).
+        par = min(
+            self.spark.sparkContext.defaultParallelism,
+            max(1, n_new // self.rows_per_task),
+        )
+        width = min(
+            self.spark.sparkContext.defaultParallelism,
+            max(1, (n_new * self.n_tables) // self.rows_per_task),
+        )
+        spp = _scoped_shuffle_partitions(self.spark, width)
+        spp.__enter__()
         try:
-            # small-batch parallelism fix, row-count sized — see
-            # IncrementalDeduper.ingest (vectors are cheaper per row than
-            # shingled docs, so the per-task quantum is larger)
-            par = min(
-                self.spark.sparkContext.defaultParallelism,
-                max(1, n_new // self.rows_per_task),
-            )
             if 1 < par and new_emb.rdd.getNumPartitions() < par:
                 new_emb = keep(new_emb.repartition(par, "vec_id"))
             bucket_rows = keep(self._bucket_rows(new_emb))
@@ -1100,6 +1159,7 @@ class IncrementalEmbeddingIndex:
             )
             self._append_index(bucket_rows, rng, batch_id, n_new)
         finally:
+            spp.__exit__(None, None, None)
             aqe_off.__exit__(None, None, None)
             for df in cached:
                 df.unpersist()
@@ -1488,11 +1548,21 @@ class IncrementalChunkIndex:
             cached.append(df.persist())
             return df
 
+        # batch-sized shuffle width (scoped; AQE stays ON here and coalesces
+        # below it — the scope just stops a small batch from PLANNING a full
+        # cluster-width wave per shuffle stage before coalescing). Sized by
+        # the derived chunk-occurrence volume (~docs x words/w), not docs.
+        par = min(
+            self.spark.sparkContext.defaultParallelism,
+            max(1, n_new // self.rows_per_task),
+        )
+        width = min(
+            self.spark.sparkContext.defaultParallelism,
+            max(1, (n_new * 16) // self.rows_per_task),
+        )
+        spp = _scoped_shuffle_partitions(self.spark, width)
+        spp.__enter__()
         try:
-            par = min(
-                self.spark.sparkContext.defaultParallelism,
-                max(1, n_new // self.rows_per_task),
-            )
             if 1 < par and new_docs.rdd.getNumPartitions() < par:
                 new_docs = keep(new_docs.repartition(par, "doc_id"))
             chunks = keep(dd.chunk_rows(new_docs, w=self.w))
@@ -1538,6 +1608,7 @@ class IncrementalChunkIndex:
             )
             self._append_index(firsts, rng, batch_id, n_new)
         finally:
+            spp.__exit__(None, None, None)
             for df in cached:
                 df.unpersist()
         return {

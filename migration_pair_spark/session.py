@@ -73,6 +73,16 @@ def get_spark(
         # (tables created with bloom_filter_cols). This is what makes the
         # chunk-index probe's small-batch IN path read ~0 data pages.
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+        # Bounded driver collects (limit(cap).collect()) otherwise run
+        # Spark's INCREMENTAL CollectLimit: scan 1 partition, then 4, 16,
+        # ... — one extra JOB per scale-up round (measured: +3 jobs per
+        # keeper-resolution collect). Starting at cluster width makes the
+        # common small-data case one single-wave job; a genuinely huge
+        # input still scales up by 4x from there instead of from 1.
+        .config(
+            "spark.sql.limit.initialNumPartitions",
+            str(max(cpus, shuffle_partitions or cpus)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.ui.enabled", "false")

@@ -186,24 +186,45 @@ def test_neardup_hi_production_regime_selective(spark):
 
 
 def test_dedup_clusters_connected_components(spark):
-    """Min-label propagation: a 4-hop chain needs multiple rounds; separate
-    components stay separate; singletons keep themselves."""
+    """Connected components: a 4-hop chain resolves; separate components
+    stay separate; singletons keep themselves — on BOTH execution paths
+    (driver union-find fast path and distributed label propagation)."""
     docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     pairs = spark.createDataFrame(
         [(1, 9), (9, 4), (4, 7), (7, 8), (2, 3)], "doc_a long, doc_b long"
     )
+    expected = {0: 0, 1: 1, 9: 1, 4: 1, 7: 1, 8: 1, 2: 2, 3: 2, 5: 5, 6: 6}
+    for cap in (dd.DRIVER_CC_MAX_EDGES, 0):  # driver path / distributed path
+        got = {
+            r.doc_id: r.keeper_doc_id
+            for r in dd.dedup_clusters(
+                docs, pairs, driver_cc_max_edges=cap
+            ).collect()
+        }
+        assert got == expected, f"cap={cap}"
+
+
+def test_dedup_clusters_driver_overflow_falls_back(spark):
+    """An edge set larger than driver_cc_max_edges must fall through to the
+    distributed loop (limit cap+1 detects overflow) with identical output."""
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+    )
     got = {
         r.doc_id: r.keeper_doc_id
-        for r in dd.dedup_clusters(docs, pairs).collect()
+        for r in dd.dedup_clusters(docs, pairs, driver_cc_max_edges=3).collect()
     }
-    assert got == {0: 0, 1: 1, 9: 1, 4: 1, 7: 1, 8: 1, 2: 2, 3: 2, 5: 5, 6: 6}
+    assert got == {i: 0 for i in range(8)}
 
 
 def test_dedup_clusters_chain_converges_logarithmically(spark):
     """Worst-case deep component: a 64-hop chain. Plain min-label
     propagation needs O(diameter) ~ 63 rounds (each a Spark job + driver
     count); pointer doubling halves the remaining distance per round, so
-    the chain must resolve in <= 7 rounds with identical output."""
+    the chain must resolve in <= 7 rounds with identical output. The
+    DISTRIBUTED path is forced (cap 0): the driver fast path would resolve
+    in one collect and the log-convergence property would go unpinned."""
     n = 64
     docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     chain = spark.createDataFrame(
@@ -212,7 +233,9 @@ def test_dedup_clusters_chain_converges_logarithmically(spark):
     stats: dict = {}
     got = {
         r.doc_id: r.keeper_doc_id
-        for r in dd.dedup_clusters(docs, chain, stats=stats).collect()
+        for r in dd.dedup_clusters(
+            docs, chain, stats=stats, driver_cc_max_edges=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 7, f"took {stats['rounds']} rounds"

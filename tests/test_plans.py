@@ -77,9 +77,21 @@ def test_topk_uses_limit_not_full_sort_materialization(spark):
 
 
 def test_window_query_uses_group_limit_pushdown(spark):
-    # Spark 3.5+ WindowGroupLimit prunes rank<=1 rows before the full sort
-    plan = plan_of(REGISTRY["lww_latest_state"].fn(spark, SF), "simple")
+    # Spark 3.5+ WindowGroupLimit prunes rank<=k rows before the full sort
+    # (pinned on the brute-force top-k query — the r6 optimization moved
+    # lww_latest_state off the window form entirely; see the next test)
+    plan = plan_of(REGISTRY["embedding_topk_cosine"].fn(spark, SF), "simple")
     assert "WindowGroupLimit" in plan
+
+
+def test_lww_latest_state_is_single_shuffle_aggregate(spark):
+    """r6: the catalog LWW rows run the max_by AGGREGATE (one map-side-
+    combined shuffle), not the salted two-phase window (two shuffles +
+    per-partition sorts of every row)."""
+    plan = plan_of(REGISTRY["lww_latest_state"].fn(spark, SF), "simple")
+    assert "Window" not in plan
+    assert plan.count("Exchange") == 1
+    assert "max_by" in plan or "MaxBy" in plan
 
 
 def test_embedding_neardup_has_no_cartesian(spark):
