@@ -586,8 +586,20 @@ def main(argv: list[str] | None = None) -> int:
         version = table.purge_keys(kdf)
         out = {"snapshot_id": version, "lineage": table.lineage}
         if ix is not None:
-            out["chunk_corpus_version"] = ix.purge_source(kdf)
-            out["chunk_corpus_lineage"] = ix.corpus.lineage
+            # purge_source re-checks pending ranges internally: a sweep or
+            # ingest racing this CLI between the pre-check above and here
+            # can make it refuse AFTER the table purge committed. Surface
+            # the partial state in the JSON (pages purged, chunk corpus
+            # untouched) and exit nonzero so the operator re-runs after
+            # the sweep, instead of aborting with no record
+            # (advisor-caught).
+            try:
+                out["chunk_corpus_version"] = ix.purge_source(kdf)
+                out["chunk_corpus_lineage"] = ix.corpus.lineage
+            except ValueError as e:
+                out["chunk_corpus_error"] = str(e)
+                print(json.dumps(out))
+                sys.exit(3)
         if args.erase_history:
             out["expired_versions"] = table.expire_snapshots(
                 keep_last=args.keep_last

@@ -704,9 +704,10 @@ def _apply_cdc_batch_inner(
         )
 
     t_phase = _mark("write_commit", t_phase)
-    # finer attribution when the target exposes it (LakeTable records the
-    # Spark write action vs the driver-side manifest commit separately)
-    wp = getattr(table, "last_write_phases", None)
+    # finer attribution when the target records it (LakeTable stamps the
+    # Spark write action vs driver-side commit bookkeeping into the
+    # lineage dict it was handed — no read outside the UpsertTarget seam)
+    wp = lineage.pop("write_phases", None)
     if wp:
         phase_ms.update(wp)
     observed = obs.get  # available immediately: the write action completed

@@ -310,9 +310,16 @@ class MaterializedView:
 
             # fold deltas into ONLY the touched buckets' current groups —
             # the untouched ones carry over by manifest reference, so
-            # refresh work and write are O(changed groups)
-            state = self.view.read_buckets(touched).drop(
-                "_lsn", "_deleted", "_gk"
+            # refresh work and write are O(changed groups). The tombstone
+            # filter pins an otherwise-unstated invariant: view tables are
+            # written exclusively by _seed/replace_buckets (never MOR
+            # deltas or tombstones), so it drops nothing today — but any
+            # future writer appending tombstones to a view bucket would
+            # otherwise silently double-count groups here (advisor-caught)
+            state = (
+                self.view.read_buckets(touched)
+                .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+                .drop("_lsn", "_deleted", "_gk")
             )
             merged = apply_delta(state, delta, self.dims, self.measure_names)
             # cast measures to the PINNED view types, exactly like the seed

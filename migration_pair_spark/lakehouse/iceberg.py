@@ -353,34 +353,54 @@ class IcebergTable:
         ``rewrite_data_files(strategy => 'sort', sort_order => ...)`` and
         ``max_rows_per_file`` its target-file-size option; this adapter
         expresses both through the writer (sortWithinPartitions +
-        maxRecordsPerFile), same semantics. ``conflict_retries`` maps to
-        Iceberg's native optimistic-retry loop (``commit.retry.num-retries``
-        table property; CommitFailedException re-plans the rewrite) — the
-        engine table implements the same rebase in LakeTable.compact."""
+        maxRecordsPerFile), same semantics.
+
+        ``conflict_retries`` is a DRIVER-SIDE re-read-and-re-plan loop,
+        NOT Iceberg's ``commit.retry.num-retries``: Iceberg's native retry
+        re-commits the SAME pending snapshot against refreshed metadata —
+        it does not re-read the source, so a retried unvalidated dynamic
+        overwrite could silently drop rows a rival writer committed into
+        the compacted partitions between our read and our commit
+        (advisor-caught; an earlier revision claimed the native loop was
+        equivalent and ALTERed the table property per call as a side
+        effect — both wrong). This loop mirrors LakeTable.compact's
+        rebase: on CommitFailedException/ValidationException, refresh and
+        redo the whole read-resolve-overwrite from current state."""
         buckets = (
             bucket_ids if bucket_ids is not None else sorted(self.files_per_bucket())
         )
         if not buckets:
             return self.version
-        # wire the retry budget to Iceberg's native optimistic loop (the
-        # docstring's contract): CommitFailedException re-plans the rewrite
-        # up to this many times — the adapter needs no loop of its own
-        self.spark.sql(
-            f"ALTER TABLE {self.name} SET TBLPROPERTIES "
-            f"('commit.retry.num-retries' = '{int(conflict_retries)}')"
-        )
-        resolved = self.read_buckets(buckets, resolve=True)
-        remaining = sorted(self.mor_buckets - {int(b) for b in buckets})
-        out = resolved.withColumn("_bucket", self.bucket_expr())
-        lineage = {"compaction": True, "buckets": list(map(int, buckets))}
-        if sort_by:
-            out = out.sortWithinPartitions("_bucket", *sort_by)
-            lineage["sort_by"] = sort_by
-        w = self._writer(
-            out, {"engine.mor-buckets": json.dumps(remaining)}, lineage
-        )
-        if max_rows_per_file:
-            w = w.option("maxRecordsPerFile", str(max_rows_per_file))
-        w.overwritePartitions()
+
+        def _once() -> None:
+            resolved = self.read_buckets(buckets, resolve=True)
+            remaining = sorted(self.mor_buckets - {int(b) for b in buckets})
+            out = resolved.withColumn("_bucket", self.bucket_expr())
+            lineage = {"compaction": True, "buckets": list(map(int, buckets))}
+            if sort_by:
+                out = out.sortWithinPartitions("_bucket", *sort_by)
+                lineage["sort_by"] = sort_by
+            w = self._writer(
+                out, {"engine.mor-buckets": json.dumps(remaining)}, lineage
+            )
+            if max_rows_per_file:
+                w = w.option("maxRecordsPerFile", str(max_rows_per_file))
+            w.overwritePartitions()
+
+        attempts = 0
+        while True:
+            try:
+                _once()
+                break
+            except Exception as e:  # py4j-wrapped Iceberg commit conflicts
+                name = type(e).__name__ + " " + str(e)
+                conflict = (
+                    "CommitFailedException" in name
+                    or "ValidationException" in name
+                )
+                attempts += 1
+                if not conflict or attempts > conflict_retries:
+                    raise
+                self.refresh()
         self.refresh()
         return self.version

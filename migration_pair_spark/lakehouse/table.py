@@ -1083,14 +1083,18 @@ class LakeTable:
         if properties:
             m["properties"].update(properties)
         m["lineage"] = lineage
+        # phase attribution (Spark write job vs driver-side commit work),
+        # recorded INTO the caller's lineage record rather than a new
+        # attribute: the CDC loop reads tables only through the
+        # UpsertTarget seam (tests/test_interface.py), and lineage is
+        # already the seam's advisory side-channel
+        if lineage is not None:
+            lineage["write_phases"] = {
+                "write_exec_ms": int((t_commit - t_exec) * 1000),
+                "commit_ms": int((time.monotonic() - t_commit) * 1000),
+            }
         self._write_manifest(m)
         self._manifest = m
-        # phase attribution for the apply loop's lineage (write job vs
-        # driver-side commit work) — read by cdc/apply, advisory only
-        self.last_write_phases = {
-            "write_exec_ms": int((t_commit - t_exec) * 1000),
-            "commit_ms": int((time.monotonic() - t_commit) * 1000),
-        }
         return m["version"]
 
     def append_delta_buckets(
@@ -1612,7 +1616,25 @@ class LakeTable:
         ctype = self.schema[col].dataType
         if isinstance(values, DataFrame):
             src = F.col(values.columns[0])
-            vdf = values.select(src.cast(ctype).alias(col))
+            # a key that NULLS OUT under the cast (e.g. a non-numeric
+            # string against a long key column) would silently vanish
+            # from the purge set — a right-to-be-forgotten request that
+            # erases nothing, with no error and no lineage trace
+            # (advisor-caught). One bounded count per purge (purges are
+            # rare admin ops) buys the loud failure.
+            cast_df = values.select(
+                src.alias("_raw"), src.cast(ctype).alias(col)
+            )
+            n_bad = cast_df.where(
+                F.col("_raw").isNotNull() & F.col(col).isNull()
+            ).count()
+            if n_bad:
+                raise ValueError(
+                    f"purge: {n_bad} key value(s) do not cast to {col!r}'s "
+                    f"type {ctype.simpleString()} and would silently be "
+                    "dropped from the purge set — fix the inputs"
+                )
+            vdf = cast_df.select(col)
         else:
             vdf = self.spark.createDataFrame(
                 [(v,) for v in values], T.StructType([T.StructField(col, ctype)])

@@ -83,6 +83,7 @@ def sweep_into_chunk_index(
     ix: IncrementalChunkIndex,
     text_col: str = "text",
     batch_id: str | None = None,
+    auto_compact_files_per_bucket: int = 0,
 ) -> dict:
     """One sweep: ingest every page row version with ``_lsn`` above the
     index's watermark as a (doc_id=_lsn, text) batch, advancing the
@@ -115,4 +116,16 @@ def sweep_into_chunk_index(
         corpus_properties=lambda lo, hi: {SWEEP_PROP: str(hi)},
     )
     out["sweep_from_lsn"] = wm + 1
+    # per-sweep maintenance (0 = never): the sweep loop is exactly the
+    # micro-batched ingest whose corpus/index file counts otherwise grow
+    # one file per (sweep x touched bucket) without bound — same policy
+    # and metric as the CDC follow loop's auto_compact_files_per_bucket
+    if auto_compact_files_per_bucket and not (
+        out.get("replayed") or out.get("empty")
+    ):
+        compacted = ix.auto_compact(auto_compact_files_per_bucket)
+        if compacted:
+            out["auto_compact"] = {
+                name: rec["buckets"] for name, rec in compacted.items()
+            }
     return out

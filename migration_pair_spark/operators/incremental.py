@@ -273,6 +273,32 @@ def _ingest_gate(
     }
 
 
+def _auto_compact_tables(
+    tables: "list[tuple[str, LakeTable]]", files_per_bucket: int
+) -> dict:
+    """Shared maintenance policy for the incremental index pairs: fold any
+    lake bucket holding more than ``files_per_bucket`` data files back to
+    one file (LakeTable.compact on exactly those buckets). A months-long
+    streaming ingest or sweep loop otherwise accumulates one file per
+    (batch x touched bucket) without bound — probe cost then grows with
+    BATCH HISTORY (per-file open/footer overhead), not data volume. The
+    CDC follow loop has had this policy since round 4
+    (auto_compact_files_per_bucket); this is the same metric and the same
+    trigger for the dedup family's tables. Returns {table name: {"buckets":
+    [...], "version": v}} for the tables actually compacted."""
+    done: dict = {}
+    for name, table in tables:
+        over = sorted(
+            b
+            for b, n in table.files_per_bucket().items()
+            if n > files_per_bucket
+        )
+        if over:
+            version = table.compact(bucket_ids=over)
+            done[name] = {"buckets": over, "version": version}
+    return done
+
+
 def _cap_hot_buckets(
     rows: DataFrame, key_col: str, id_col: str, max_bucket: int | None
 ) -> DataFrame:
@@ -863,6 +889,15 @@ class IncrementalDeduper:
         finally:
             bands.unpersist()
 
+    # ----------------------------------------------------------- maintenance
+
+    def auto_compact(self, files_per_bucket: int) -> dict:
+        """Compact corpus/index buckets holding more than
+        ``files_per_bucket`` files (see _auto_compact_tables)."""
+        return _auto_compact_tables(
+            [("corpus", self.corpus), ("index", self.index)], files_per_bucket
+        )
+
     # ---------------------------------------------------------------- reads
 
     def keepers(self) -> DataFrame:
@@ -1190,6 +1225,14 @@ class IncrementalEmbeddingIndex:
                 )
             },
             lineage={"emb_ingest": batch_id, "n_vecs": n},
+        )
+
+    def auto_compact(self, files_per_bucket: int) -> dict:
+        """Compact vectors/index buckets holding more than
+        ``files_per_bucket`` files (see _auto_compact_tables)."""
+        return _auto_compact_tables(
+            [("vectors", self.vectors), ("index", self.index)],
+            files_per_bucket,
         )
 
     def _heal_index(self, ranges: list[tuple[int, int]]) -> None:
@@ -1681,6 +1724,18 @@ class IncrementalChunkIndex:
             firsts.unpersist()
         finally:
             chunks.unpersist()
+
+    # ----------------------------------------------------------- maintenance
+
+    def auto_compact(self, files_per_bucket: int) -> dict:
+        """Compact corpus/index buckets holding more than
+        ``files_per_bucket`` files (see _auto_compact_tables). The sweep
+        bridge and streaming ingest loops call this per-batch behind their
+        own knobs so a long-running loop's probe cost tracks data volume,
+        not batch history."""
+        return _auto_compact_tables(
+            [("corpus", self.corpus), ("index", self.index)], files_per_bucket
+        )
 
     # ---------------------------------------------------------------- reads
 

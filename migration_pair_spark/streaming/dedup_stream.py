@@ -36,11 +36,23 @@ def run_dedup_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     on_batch=None,
+    auto_compact_files_per_bucket: int = 0,
 ) -> list[dict]:
     """Drain ``docs_dir`` (availableNow) through ``deduper`` and return one
     stats record per micro-batch ingested by THIS invocation. ``on_batch``
     (if given) is called with (batch_id, stats) after each batch — tests
-    inject a mid-stream kill there."""
+    inject a mid-stream kill there.
+
+    ``auto_compact_files_per_bucket`` (0 = never): after each applied
+    batch, fold any corpus/index bucket that accumulated more than this
+    many data files back to one file — the same maintenance policy (and
+    metric) as the CDC follow loop's knob of the same name. A
+    micro-batched stream otherwise grows one file per (batch x touched
+    bucket) FOREVER, and the bucket-pruned probe's cost starts tracking
+    batch history instead of data volume. Compaction is a normal
+    committed rewrite: a crash mid-compact is invisible (manifest
+    atomicity), and ingest equivalence is unaffected (pinned in
+    tests/test_dedup_stream.py)."""
     results: list[dict] = []
 
     def handle(batch: DataFrame, batch_id: int) -> None:
@@ -53,6 +65,12 @@ def run_dedup_stream(
         if res.get("pairs") is not None:
             stats["n_pairs"] = res["pairs"].count()
         stats["batch_id"] = batch_id
+        if auto_compact_files_per_bucket and not res.get("replayed"):
+            compacted = deduper.auto_compact(auto_compact_files_per_bucket)
+            if compacted:
+                stats["auto_compact"] = {
+                    name: rec["buckets"] for name, rec in compacted.items()
+                }
         results.append(stats)
         if on_batch is not None:
             on_batch(batch_id, stats)

@@ -14,8 +14,11 @@ Claims recorded / asserted:
   sequential == batch exactly);
 - sweep idempotence: a final extra sweep is empty.
 
-Usage: python scripts/sweep_soak.py [n_events] [n_batches] [cores].
-Writes everything under /dev/shm and prints one JSON line.
+Usage: python scripts/sweep_soak.py [n_events] [n_batches] [cores] [cap].
+Writes everything under /dev/shm and prints one JSON line. ``cap`` > 0
+enables per-sweep auto-compaction of the chunk corpus/index at that
+files-per-bucket bound (r6 maintenance optimization) — the output's
+``max_files_per_bucket`` shows the growth it prevents.
 """
 
 from __future__ import annotations
@@ -44,18 +47,19 @@ def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     cores = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    cap = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     spark = get_spark(
         f"sweep-soak{cores}", master=f"local[{cores}]", shuffle_partitions=cores
     )
     work = tempfile.mkdtemp(prefix="mps-sweep-soak-", dir="/dev/shm")
     try:
-        _run(spark, work, n_events, n_batches)
+        _run(spark, work, n_events, n_batches, cap)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _run(spark, work, n_events, n_batches):
+def _run(spark, work, n_events, n_batches, cap=0):
     ev_dir = os.path.join(work, "events")
     synth.write_change_stream(
         ev_dir, n_events, n_events // 5, n_files=n_batches, seed=7,
@@ -86,7 +90,9 @@ def _run(spark, work, n_events, n_batches):
         if pages is None:
             pages = LakeTable.load(spark, pipe.table_path)
         t0 = time.monotonic()
-        res = sweep_into_chunk_index(pages, ix)
+        res = sweep_into_chunk_index(
+            pages, ix, auto_compact_files_per_bucket=cap
+        )
         sweep_walls.append(round(time.monotonic() - t0, 2))
         sweep_rows.append(res.get("n_new", 0))
     total = time.monotonic() - t_all
@@ -120,8 +126,16 @@ def _run(spark, work, n_events, n_batches):
 
     n_chunks = sum(r["n_chunks"] for r in ix.corpus.read().collect())
     n_kept = sum(r["n_kept"] for r in ix.corpus.read().collect())
+    fpb = {
+        t: max(
+            getattr(ix, a).files_per_bucket().values() or [0]
+        )
+        for t, a in (("corpus", "corpus"), ("index", "index"))
+    }
     print(json.dumps({
         "n_events": n_events,
+        "auto_compact_cap": cap,
+        "max_files_per_bucket": fpb,
         "n_batches": n_batches,
         "wall_sec": round(total, 1),
         "apply_walls": apply_walls,

@@ -141,6 +141,65 @@ def test_long_run_gate_state_stays_bounded(spark, tmp_path):
     assert applied_ranges(ded.index) == [(0, 591)]
 
 
+def test_auto_compact_bounds_file_counts_with_equivalence(spark, tmp_path):
+    """r6 maintenance optimization: a long micro-batched ingest loop grows
+    one file per (batch x touched bucket) without bound — probe cost then
+    tracks batch history. With auto-compaction at cap N, file counts stay
+    bounded while keepers/pairs remain identical to an uncompacted run."""
+    import os as _os
+
+    import pandas as pd
+
+    from migration_pair_spark.streaming.dedup_stream import run_dedup_stream
+
+    n_batches, cap = 14, 3
+    batches = [
+        [
+            (b * 10, f"micro batch {b} first document body text"),
+            (b * 10 + 1, f"micro batch {b} second document body text"),
+        ]
+        for b in range(n_batches)
+    ]
+    docs = str(tmp_path / "docs")
+    _os.makedirs(docs)
+    for b, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+            {"doc_id": "int64"}
+        ).to_parquet(_os.path.join(docs, f"d-{b:05d}.parquet"), index=False)
+
+    plain = IncrementalDeduper.create(
+        spark, str(tmp_path / "plain"), threshold=THR, bands=BANDS,
+        corpus_buckets=2, index_buckets=2,
+    )
+    run_dedup_stream(spark, plain, docs, str(tmp_path / "ck1"))
+    compacted = IncrementalDeduper.create(
+        spark, str(tmp_path / "compacted"), threshold=THR, bands=BANDS,
+        corpus_buckets=2, index_buckets=2,
+    )
+    stats = run_dedup_stream(
+        spark, compacted, docs, str(tmp_path / "ck2"),
+        auto_compact_files_per_bucket=cap,
+    )
+    # maintenance actually fired, and file counts are bounded by the cap
+    assert any("auto_compact" in s for s in stats)
+    for t in (compacted.corpus, compacted.index):
+        assert all(n <= cap for n in t.files_per_bucket().values()), (
+            t.path, t.files_per_bucket(),
+        )
+    # the uncompacted twin HAS outgrown the cap (the test would otherwise
+    # pass vacuously on a fixture too small to accumulate files)
+    assert any(
+        n > cap
+        for t in (plain.corpus, plain.index)
+        for n in t.files_per_bucket().values()
+    )
+    # equivalence: same keepers, same corpus rows
+    assert _keepers(plain) == _keepers(compacted)
+    a = sorted(map(tuple, plain.corpus.read().collect()))
+    b = sorted(map(tuple, compacted.corpus.read().collect()))
+    assert a == b
+
+
 def test_dedup_stream_cli(spark, tmp_path, docs_dir, capsys):
     import json
 
