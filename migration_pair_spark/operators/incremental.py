@@ -1591,10 +1591,16 @@ class IncrementalChunkIndex:
             cached.append(df.persist())
             return df
 
-        # batch-sized shuffle width (scoped; AQE stays ON here and coalesces
-        # below it — the scope just stops a small batch from PLANNING a full
-        # cluster-width wave per shuffle stage before coalescing). Sized by
-        # the derived chunk-occurrence volume (~docs x words/w), not docs.
+        # batch-sized shuffle width (scoped), sized by the derived
+        # chunk-occurrence volume (~docs x words/w), not docs. AQE is now
+        # OFF for the ingest's own jobs, like the LSH/SRP ingests: the
+        # pipeline is fixed-shape (the probe join is explicitly broadcast
+        # on the isin path and 1:m key-joined otherwise; the firsts agg
+        # and reassembly partial-aggregate), and AQE's per-stage
+        # materialization barrier billed one extra JOB per shuffle stage
+        # (measured r6: 47 jobs -> fewer; wall compared below; the round-5 rationale
+        # predated the width scoping that now right-sizes the partitions
+        # AQE used to coalesce).
         par = min(
             self.spark.sparkContext.defaultParallelism,
             max(1, n_new // self.rows_per_task),
@@ -1603,6 +1609,8 @@ class IncrementalChunkIndex:
             self.spark.sparkContext.defaultParallelism,
             max(1, (n_new * 16) // self.rows_per_task),
         )
+        aqe_off = _aqe_disabled(self.spark)
+        aqe_off.__enter__()
         spp = _scoped_shuffle_partitions(self.spark, width)
         spp.__enter__()
         try:
@@ -1652,6 +1660,7 @@ class IncrementalChunkIndex:
             self._append_index(firsts, rng, batch_id, n_new)
         finally:
             spp.__exit__(None, None, None)
+            aqe_off.__exit__(None, None, None)
             for df in cached:
                 df.unpersist()
         return {
